@@ -1,0 +1,38 @@
+"""Test harness configuration.
+
+Runs the whole suite on the CPU backend with 8 virtual devices so that
+multi-chip sharding (mesh/shard_map) is exercised without TPU hardware —
+the environment's stand-in for the reference's device-parametrized tests
+(reference ``tests/utils.py:5-30``). Must set env vars before jax import.
+"""
+import os
+
+# Force CPU even under the axon TPU tunnel (its sitecustomize sets
+# JAX_PLATFORMS=axon at interpreter start; backends initialize lazily, so
+# overriding here still wins as long as no jax op ran yet).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+# jax snapshots JAX_PLATFORMS at import time (which already happened in
+# sitecustomize), so the env var alone is not enough.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def pytest_report_header(config):
+    return f"jax backend: {jax.default_backend()}, devices: {jax.device_count()}"
