@@ -1,0 +1,230 @@
+"""Special functions: Bessel-I family, multivariate digamma, erfinv,
+gammainc.
+
+Capability parity with the reference's ``special`` module
+(``nitorch_fastmath/special.py``: ``mvdigamma:8``, ``besseli:33``,
+``besseli_ratio:349``) plus the north-star extras ``erfinv`` /
+``gammainc`` (``BASELINE.json`` configs[3]; not present in the
+reference).
+
+TPU-first design notes:
+
+* The reference splits tensors with boolean masks and fills the pieces
+  (``special.py:336-344``) — a scatter/gather pattern XLA can't fuse.
+  Here both branches are evaluated everywhere and blended with
+  ``jnp.where``, using the *double-where* trick (inputs clamped into
+  each branch's valid region) so no Inf/NaN leaks through values or
+  gradients.
+* ``nu=0``/``nu=1`` route to XLA's native ``i0e``/``i1e`` (exponentially
+  scaled, stable at large z); general ``nu`` uses the log-space series
+  with first-term pivot at small z and the A&S p.378 uniform asymptotic
+  expansion (6-term u-series) at large z — same branch structure as the
+  reference (``special.py:315-345``, thresholds preserved).
+* bfloat16/float16 inputs are computed internally in float32 and cast
+  back (gate: fp32/bf16 parity suite).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp
+
+__all__ = [
+    "mvdigamma",
+    "besseli",
+    "besseli_ratio",
+    "erfinv",
+    "gammainc",
+    "gammaincc",
+    "digamma",
+]
+
+digamma = jsp.digamma  # convenience re-export
+
+
+def _upcast(z):
+    z = jnp.asarray(z)
+    if z.dtype in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)):
+        return z.astype(jnp.float32), z.dtype
+    if not jnp.issubdtype(z.dtype, jnp.floating):
+        z = z.astype(jnp.result_type(float))
+    return z, z.dtype
+
+
+def mvdigamma(input, order: int = 1):
+    r"""Multivariate digamma: ``sum_{p=1..order} psi(x + (1-p)/2)``.
+
+    Reference analog: ``special.py:8-26``.
+    """
+    x, out_dtype = _upcast(input)
+    dg = jsp.digamma(x)
+    for p in range(2, order + 1):
+        dg = dg + jsp.digamma(x + (1 - p) / 2)
+    return dg.astype(out_dtype)
+
+
+def _mode_code(mode) -> int:
+    if isinstance(mode, int):
+        return mode
+    return 2 if mode == "log" else 1 if mode == "norm" else 0
+
+
+def _besseli_01(nu: int, z, code: int):
+    """nu in {0, 1} via XLA-native scaled Bessel (i0e/i1e)."""
+    ie = jsp.i0e(z) if nu == 0 else jsp.i1e(z)
+    if code == 1:  # norm: I_nu(z) / e^z  (z >= 0)
+        return ie
+    if code == 2:  # log
+        return jnp.log(ie) + z
+    return ie * jnp.exp(z)
+
+
+def _besseli_series_log(nu: float, z, m_terms: int):
+    """log I_nu(z) by the ascending series, log-sum-exp pivoted on the
+    first term (reference ``special.py:173-210`` stabilization)."""
+    lgamma_nu_1 = math.lgamma(nu + 1)
+    x = jnp.log(0.5 * z)
+    # sum_{m>=1} exp(2m*x - (lgamma(m+1) + lgamma(m+1+nu) - lgamma(nu+1)))
+    f = jnp.exp(2 * x - (math.lgamma(2) + math.lgamma(nu + 2) - lgamma_nu_1))
+    for m in range(2, max(m_terms, 2)):
+        f = f + jnp.exp(
+            2 * m * x - (math.lgamma(m + 1) + math.lgamma(m + 1 + nu) - lgamma_nu_1)
+        )
+    f = f + 1.0
+    return jnp.log(f) + nu * x - lgamma_nu_1
+
+
+def _besseli_large_log(nu: float, z):
+    """log I_nu(z) by the uniform asymptotic expansion (A&S p.378),
+    branch-blended with double-where (reference ``special.py:247-313``)."""
+    # With w = z/nu and T = sqrt(1 + w^2) (A&S 9.7.7):
+    #   log I_nu ~ nu*(T + log(w/(1+T))) - log(sqrt(2 pi nu)) + 0.5*log(t)
+    #             + log(u-series(t)),   t = 1/T.
+    # Two stabilizations of the same formula: for large w compute T via
+    # z*sqrt(1+(nu/z)^2)/nu (avoids w^2 overflow); for small w directly.
+    # (The reference clamps T to 1 in its small-w branch,
+    # ``special.py:281-284`` — a bug that mis-evaluates 14<nu<15 at
+    # moderate z; here the exact formula is used. Conscious divergence.)
+    f = (z / nu) ** 2
+    big = f > 4.0
+    z1 = jnp.maximum(z, 2.0 * nu)  # double-where guards
+    tmp1 = jnp.sqrt(1.0 + (nu / z1) ** 2)
+    t1 = z1 * tmp1 / nu
+    e1 = nu * (t1 - jnp.log(nu / z1 + tmp1))
+    z2 = jnp.minimum(z, 2.0 * nu)
+    t2 = jnp.sqrt(1.0 + (z2 / nu) ** 2)
+    e2 = nu * (t2 + jnp.log(z2 / (nu * (1.0 + t2))))
+    t = jnp.where(big, 1.0 / t1, 1.0 / t2)
+    expo = jnp.where(big, e1, e2)
+
+    tt = t * t
+    # u-series in 1/nu with Debye polynomials u_k(t) (A&S 9.3.9-9.3.10)
+    us = 1.0
+    den = nu
+    us = us + t * (0.125 - tt * 0.2083333333333333) / den
+    den = den * nu
+    us = us + tt * (0.0703125 + tt * (-0.4010416666666667 + tt * 0.3342013888888889)) / den
+    den = den * nu
+    us = us + t * tt * (
+        0.0732421875 + tt * (-0.8912109375 + tt * (1.846462673611111 - tt * 1.025812596450617))
+    ) / den
+    den = den * nu
+    us = us + tt * tt * (
+        0.112152099609375
+        + tt * (-2.3640869140625 + tt * (8.78912353515625 + tt * (-11.20700261622299 + tt * 4.669584423426248)))
+    ) / den
+    den = den * nu
+    us = us + tt * tt * t * (
+        0.2271080017089844
+        + tt * (-7.368794359479632 + tt * (42.53499874638846 + tt * (-91.81824154324002 + tt * (84.63621767460074 - tt * 28.21207255820025))))
+    ) / den
+    den = den * nu
+    us = us + tt * tt * tt * (
+        0.5725014209747314
+        + tt * (-26.49143048695155 + tt * (218.1905117442116 + tt * (-699.5796273761326 + tt * (1059.990452528 + tt * (-765.2524681411817 + tt * 212.5701300392171)))))
+    ) / den
+
+    half_log_2pi = 0.9189385332046727
+    return expo + 0.5 * (jnp.log(t) - math.log(nu)) - half_log_2pi + jnp.log(us)
+
+
+def besseli(nu: float, z, mode=None):
+    """Modified Bessel function of the first kind ``I_nu(z)`` for z >= 0.
+
+    ``mode``: ``None``/0 -> ``I_nu(z)``; ``'norm'``/1 -> ``I_nu(z)/e^z``;
+    ``'log'``/2 -> ``log I_nu(z)``. Reference analog: ``special.py:33-73``.
+    """
+    z, out_dtype = _upcast(z)
+    code = _mode_code(mode)
+    if nu == 0 or nu == 1:
+        out = _besseli_01(int(nu), z, code)
+        return out.astype(out_dtype)
+    if nu >= 15.0:
+        log_i = _besseli_large_log(float(nu), z)
+    else:
+        thr = 5.0 * math.sqrt(15.0 - nu) * math.sqrt(nu + 15.0) / 3.0
+        m_terms = int(math.ceil(thr * 1.9 + 2.0))
+        small = z < 2.0 * thr
+        z_small = jnp.minimum(z, 2.0 * thr)  # double-where guards
+        z_large = jnp.maximum(z, 2.0 * thr)
+        log_small = _besseli_series_log(float(nu), jnp.maximum(z_small, 1e-30), m_terms)
+        log_large = _besseli_large_log(float(nu), z_large)
+        log_i = jnp.where(small, log_small, log_large)
+    if code == 2:
+        out = log_i
+    elif code == 1:
+        out = jnp.exp(log_i - z)
+    else:
+        out = jnp.exp(log_i)
+    return out.astype(out_dtype)
+
+
+def besseli_ratio(nu: float, x, N: int = 4, K: int = 10):
+    """Ratio ``I_{nu+1}(x) / I_nu(x)`` by Amos (1974) bounds: lower-bound
+    seed (eq. 20a), N refinement sweeps (eq. 20b) at shifted order
+    ``nu+K``, then K steps of backward recursion (eq. 2).
+
+    Reference analog: ``special.py:349-409``.
+    """
+    x, out_dtype = _upcast(x)
+    nu1 = nu + K
+    xx = x * x
+    # seed: lower bound for orders nu1 .. nu1+N (Amos eq. 20a)
+    rk = [
+        x / ((nu1 + k + 0.5) + jnp.sqrt(xx + (nu1 + k + 1.5) ** 2))
+        for k in range(N + 1)
+    ]
+    # refinement sweeps (Amos eq. 20b), consuming the ladder top-down
+    for m in range(N, 0, -1):
+        for k in range(1, m + 1):
+            ratio = rk[k] / rk[k - 1]
+            rk[k - 1] = x / ((nu1 + k) + jnp.sqrt(ratio * xx + (nu1 + k) ** 2))
+        rk.pop()
+    result = rk[0]
+    # backward recursion in order (Amos eq. 2):
+    # r_{k-1}(x) = 1 / (2 k / x + r_k(x))
+    for k in range(K, 0, -1):
+        result = 1.0 / (2.0 * (nu + k) / x + result)
+    return result.astype(out_dtype)
+
+
+def erfinv(x):
+    """Inverse error function (north-star extra; XLA-native)."""
+    x, out_dtype = _upcast(x)
+    return jsp.erfinv(x).astype(out_dtype)
+
+
+def gammainc(a, x):
+    """Regularized lower incomplete gamma ``P(a, x)`` (north-star extra)."""
+    a, _ = _upcast(a)
+    x, out_dtype = _upcast(x)
+    return jsp.gammainc(a, x).astype(out_dtype)
+
+
+def gammaincc(a, x):
+    """Regularized upper incomplete gamma ``Q(a, x)`` (north-star extra)."""
+    a, _ = _upcast(a)
+    x, out_dtype = _upcast(x)
+    return jsp.gammaincc(a, x).astype(out_dtype)

@@ -1,0 +1,392 @@
+"""Compact symmetric matrix ops (matvec / solve / invert / det / outer / JHJ).
+
+Capability parity with the reference's ``sym`` module
+(``nitorch_fastmath/sym.py`` + ``_impl/sym.py`` + the external
+``jitfields.sym`` C++/CUDA kernels). Everything here is a TPU-first
+re-design:
+
+* All small-N hot loops are **unrolled at trace time** from the layout
+  index map (:mod:`fastmath_tpu.layouts.sym`), producing one fused XLA
+  kernel per op — the reference instead launches one TorchScript op per
+  scalar step (``_impl/sym.py:87-131``) or calls out to jitfields.
+* Solves for N <= 4 use a generic trace-time adjugate (Laplace expansion
+  with memoized minors) — numerically equivalent to the reference's
+  hand-written Cramer kernels (``_impl/sym.py:194-324``) but generated
+  from the index map rather than transcribed.
+* N > 4 densifies to full storage and uses ``jnp.linalg`` batched
+  routines (reference: ``_impl/sym.py:392-396``).
+* Layout auto-detection (scaled identity / diagonal / compact / full,
+  contract at reference ``sym.py:16-24``) is static, at trace time.
+* A Pallas TPU lane-packed kernel path exists for the very-large-batch
+  regime (see :mod:`fastmath_tpu.kernels.sym_pallas`); the functions here
+  are the reference/XLA path and the autodiff rules (plain jnp, so JAX
+  AD works through everything — the reference's ``sym_solve`` had no
+  autograd at all, ``_impl/sym.py:333-335``).
+
+The in-place ``_``-suffixed reference variants (``sym_solve_`` etc.,
+``sym.py:28-35``) are provided as aliases: JAX is functional, and buffer
+donation + XLA fusion subsume in-place semantics.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..layouts.sym import (
+    MatrixLayout,
+    classify_layout,
+    compact_size,
+    full_to_sym,
+    sym_diag,
+    sym_dim,
+    sym_to_full,
+    tri_index,
+)
+
+__all__ = [
+    "sym_to_full",
+    "full_to_sym",
+    "sym_diag",
+    "sym_outer",
+    "sym_det",
+    "sym_matmul",
+    "sym_matvec",
+    "sym_addmatvec",
+    "sym_addmatvec_",
+    "sym_submatvec",
+    "sym_submatvec_",
+    "sym_solve",
+    "sym_solve_",
+    "sym_invert",
+    "sym_invert_",
+]
+
+# N <= this uses closed-form adjugate solves; above, densify + linalg.
+_CLOSED_FORM_MAX = 4
+# N <= this uses unrolled elementwise matvec; above, densify + MXU matmul.
+_UNROLL_MATVEC_MAX = 8
+
+
+def _entries(mat: jnp.ndarray, n: int):
+    """Full-matrix view of compact storage as an n x n grid of lazy
+    last-axis slices (trace-time; each slice is one fused gather)."""
+    return [[mat[..., tri_index(i, j, n)] for j in range(n)] for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# trace-time generic determinant / adjugate via memoized Laplace expansion
+# ---------------------------------------------------------------------------
+
+
+def _det_expand(E, rows, cols, cache):
+    """Determinant of the submatrix E[rows][cols], memoized on the static
+    index sets so shared minors are traced once (XLA then fuses/CSEs)."""
+    key = (rows, cols)
+    if key in cache:
+        return cache[key]
+    k = len(rows)
+    if k == 0:
+        out = 1.0  # det of the empty matrix (0x0 minor for n=1)
+    elif k == 1:
+        out = E[rows[0]][cols[0]]
+    elif k == 2:
+        out = (
+            E[rows[0]][cols[0]] * E[rows[1]][cols[1]]
+            - E[rows[0]][cols[1]] * E[rows[1]][cols[0]]
+        )
+    else:
+        out = None
+        r0 = rows[0]
+        sub_rows = rows[1:]
+        for pos, c in enumerate(cols):
+            sub_cols = cols[:pos] + cols[pos + 1 :]
+            minor = _det_expand(E, sub_rows, sub_cols, cache)
+            term = E[r0][c] * minor
+            if pos % 2:
+                term = -term
+            out = term if out is None else out + term
+    cache[key] = out
+    return out
+
+
+def _det_full(E, n: int, cache=None):
+    cache = {} if cache is None else cache
+    idx = tuple(range(n))
+    return _det_expand(E, idx, idx, cache)
+
+
+def _adjugate_apply(E, vec_parts, n: int):
+    """Compute (adj(A) @ v, det(A)) with A given by entry grid E.
+
+    For symmetric A the adjugate is symmetric; we still compute
+    cofactor(j, i) generally from the index map so the same machinery
+    serves full storage if ever needed.
+    """
+    cache = {}
+    idx = tuple(range(n))
+    det = _det_expand(E, idx, idx, cache)
+    out = []
+    for i in range(n):
+        acc = None
+        for j in range(n):
+            # adj[i][j] = cofactor(j, i) = (-1)^{i+j} det(minor(j, i))
+            rows = tuple(r for r in idx if r != j)
+            cols = tuple(c for c in idx if c != i)
+            minor = _det_expand(E, rows, cols, cache)
+            term = minor * vec_parts[j]
+            if (i + j) % 2:
+                term = -term
+            acc = term if acc is None else acc + term
+        out.append(acc)
+    return out, det
+
+
+# ---------------------------------------------------------------------------
+# matvec family
+# ---------------------------------------------------------------------------
+
+
+def _compact_matvec(mat: jnp.ndarray, vec: jnp.ndarray, n: int) -> jnp.ndarray:
+    if n > _UNROLL_MATVEC_MAX:
+        full = sym_to_full(mat, n)
+        return jnp.einsum("...ij,...j->...i", full, vec)
+    out = []
+    for i in range(n):
+        acc = mat[..., i] * vec[..., i]
+        for j in range(n):
+            if j != i:
+                acc = acc + mat[..., tri_index(i, j, n)] * vec[..., j]
+        out.append(acc)
+    return jnp.stack(out, axis=-1)
+
+
+def sym_matvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
+    """Matrix-vector product ``A @ v`` for auto-detected compact storage.
+
+    ``mat`` has shape ``(..., NN)`` with ``NN`` in ``{1, N, N(N+1)/2,
+    N*N}`` (see :func:`fastmath_tpu.layouts.classify_layout`); ``vec`` has
+    shape ``(..., N)``. Batch dims broadcast. Reference analog:
+    ``_impl/sym.py:134-175`` + jitfields ``sym_matvec``.
+    """
+    mat = jnp.asarray(mat)
+    vec = jnp.asarray(vec)
+    n = vec.shape[-1]
+    layout = classify_layout(mat.shape[-1], n)
+    if layout is MatrixLayout.SCALED_IDENTITY:
+        return mat * vec
+    if layout is MatrixLayout.DIAGONAL:
+        return mat * vec
+    if layout is MatrixLayout.FULL:
+        full = mat.reshape(*mat.shape[:-1], n, n)
+        return jnp.einsum("...ij,...j->...i", full, vec)
+    return _compact_matvec(mat, vec, n)
+
+
+def sym_addmatvec(
+    acc: jnp.ndarray, mat: jnp.ndarray, vec: jnp.ndarray
+) -> jnp.ndarray:
+    """``acc + A @ v`` (fused accumulate; jitfields ``sym_addmatvec``)."""
+    return jnp.asarray(acc) + sym_matvec(mat, vec)
+
+
+def sym_submatvec(
+    acc: jnp.ndarray, mat: jnp.ndarray, vec: jnp.ndarray
+) -> jnp.ndarray:
+    """``acc - A @ v`` (fused subtract-accumulate; jitfields
+    ``sym_submatvec``)."""
+    return jnp.asarray(acc) - sym_matvec(mat, vec)
+
+
+# ---------------------------------------------------------------------------
+# solve / invert / det
+# ---------------------------------------------------------------------------
+
+
+def _apply_eps(diag_parts, eps, n, dtype):
+    """Add the reference's diagonal smoothing term (``_impl/sym.py:377-382``):
+    scalar or per-channel sequence, last value broadcast to length n."""
+    eps = np.asarray(eps, dtype=np.float64).ravel()
+    if eps.size < n:
+        eps = np.concatenate([eps, np.full(n - eps.size, eps[-1])])
+    return [d + jnp.asarray(eps[i], dtype=dtype) for i, d in enumerate(diag_parts)]
+
+
+def sym_solve(
+    mat: jnp.ndarray,
+    vec: jnp.ndarray,
+    eps: Optional[Union[float, Sequence[float]]] = None,
+) -> jnp.ndarray:
+    r"""Left matrix division ``A \ v`` for auto-detected compact storage.
+
+    Orders up to 4 are solved in closed form (trace-time adjugate; one
+    fused XLA kernel); larger orders densify and use batched LU. ``eps``
+    adds a smoothing term to the diagonal before solving. Reference
+    analog: ``_impl/sym.py:327-398`` + jitfields ``sym_solve``. Unlike
+    the reference (no autograd, ``_impl/sym.py:333``), this is fully
+    differentiable.
+    """
+    mat = jnp.asarray(mat)
+    vec = jnp.asarray(vec)
+    n = vec.shape[-1]
+    dtype = jnp.result_type(mat, vec)
+    mat = mat.astype(dtype)
+    vec = vec.astype(dtype)
+    layout = classify_layout(mat.shape[-1], n)
+
+    if layout is MatrixLayout.SCALED_IDENTITY:
+        d = mat[..., 0]
+        if eps is not None:
+            d = _apply_eps([d], eps, 1, dtype)[0]
+        return vec / d[..., None]
+    if layout is MatrixLayout.DIAGONAL:
+        d = mat
+        if eps is not None:
+            parts = _apply_eps([mat[..., i] for i in range(n)], eps, n, dtype)
+            d = jnp.stack(parts, axis=-1)
+        return vec / d
+    if layout is MatrixLayout.FULL:
+        full = mat.reshape(*mat.shape[:-1], n, n)
+        if eps is not None:
+            e = np.asarray(eps, dtype=np.float64).ravel()
+            if e.size < n:
+                e = np.concatenate([e, np.full(n - e.size, e[-1])])
+            full = full + jnp.diag(jnp.asarray(e, dtype=dtype))
+        full, v = _broadcast_solve_operands(full, vec)
+        return jnp.linalg.solve(full, v[..., None])[..., 0]
+
+    # compact symmetric
+    if n <= _CLOSED_FORM_MAX:
+        E = _entries(mat, n)
+        if eps is not None:
+            diag_parts = _apply_eps([E[i][i] for i in range(n)], eps, n, dtype)
+            for i in range(n):
+                E[i][i] = diag_parts[i]
+        if n == 1:
+            return vec / E[0][0][..., None]
+        vec_parts = [vec[..., j] for j in range(n)]
+        out, det = _adjugate_apply(E, vec_parts, n)
+        inv_det = 1.0 / det
+        return jnp.stack([o * inv_det for o in out], axis=-1)
+
+    full = sym_to_full(mat, n)
+    if eps is not None:
+        e = np.asarray(eps, dtype=np.float64).ravel()
+        if e.size < n:
+            e = np.concatenate([e, np.full(n - e.size, e[-1])])
+        full = full + jnp.diag(jnp.asarray(e, dtype=dtype))
+    full, v = _broadcast_solve_operands(full, vec)
+    return jnp.linalg.solve(full, v[..., None])[..., 0]
+
+
+def _broadcast_solve_operands(full, vec):
+    """Broadcast batch dims of a full matrix (..., n, n) and vector (..., n)."""
+    batch = np.broadcast_shapes(full.shape[:-2], vec.shape[:-1])
+    n = vec.shape[-1]
+    full = jnp.broadcast_to(full, batch + full.shape[-2:])
+    vec = jnp.broadcast_to(vec, batch + (n,))
+    return full, vec
+
+
+def sym_det(mat: jnp.ndarray) -> jnp.ndarray:
+    """Determinant of a compact symmetric matrix ``(..., N(N+1)/2) -> (...)``.
+
+    Closed form (trace-time Laplace expansion) for N <= 4; densify +
+    ``jnp.linalg.det`` beyond. Reference analog: ``_impl/sym.py:401-452``.
+    """
+    mat = jnp.asarray(mat)
+    n = sym_dim(mat.shape[-1])
+    if n <= _CLOSED_FORM_MAX:
+        return _det_full(_entries(mat, n), n)
+    return jnp.linalg.det(sym_to_full(mat, n))
+
+
+def sym_invert(mat: jnp.ndarray, diag: bool = False) -> jnp.ndarray:
+    """Inverse of a compact symmetric matrix, in compact storage.
+
+    ``diag=True`` returns only the diagonal of the inverse (shape
+    ``(..., N)``). Reference analog: ``_impl/sym.py:455-493`` (there: N
+    solves against identity columns; here: direct cofactor/adjugate for
+    N <= 4, one batched full inverse beyond).
+    """
+    mat = jnp.asarray(mat)
+    n = sym_dim(mat.shape[-1])
+    if n <= _CLOSED_FORM_MAX:
+        E = _entries(mat, n)
+        cache = {}
+        idx = tuple(range(n))
+        det = _det_expand(E, idx, idx, cache)
+        inv_det = 1.0 / det
+        diag_entries = []
+        upper_entries = []
+        for i in range(n):
+            for j in range(i, n):
+                rows = tuple(r for r in idx if r != j)
+                cols = tuple(c for c in idx if c != i)
+                minor = _det_expand(E, rows, cols, cache)
+                cof = -minor if (i + j) % 2 else minor
+                (diag_entries if i == j else upper_entries).append(cof * inv_det)
+        if diag:
+            return jnp.stack(diag_entries, axis=-1)
+        return jnp.stack(diag_entries + upper_entries, axis=-1)
+    full = jnp.linalg.inv(sym_to_full(mat, n))
+    if diag:
+        return jnp.diagonal(full, axis1=-2, axis2=-1)
+    return full_to_sym(full)
+
+
+# ---------------------------------------------------------------------------
+# outer products / congruence
+# ---------------------------------------------------------------------------
+
+
+def sym_outer(x: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric outer product ``x @ x.T`` in compact storage
+    ``(..., N) -> (..., N(N+1)/2)``. Reference: ``_impl/sym.py:496-528``."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    parts = [x[..., i] * x[..., i] for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            parts.append(x[..., i] * x[..., j])
+    return jnp.stack(parts, axis=-1)
+
+
+def sym_matmul(j: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Congruence product ``J.T @ H @ J`` with compact-symmetric ``H``.
+
+    ``j``: ``(..., K, D)`` full matrix; ``h``: ``(..., K(K+1)/2)``
+    compact; returns ``(..., D(D+1)/2)`` compact. Uses densify + einsum
+    (MXU-friendly for large K/D; XLA fuses the compacting gather).
+    Reference analog: ``_impl/sym.py:637-670`` (jhj kernels).
+    """
+    j = jnp.asarray(j)
+    h = jnp.asarray(h)
+    k = j.shape[-2]
+    if h.shape[-1] != compact_size(k):
+        raise ValueError(
+            f"h last axis {h.shape[-1]} does not match compact size "
+            f"{compact_size(k)} for K={k}"
+        )
+    h_full = sym_to_full(h, k)
+    out_full = jnp.einsum("...ki,...kl,...lj->...ij", j, h_full, j)
+    return full_to_sym(out_full)
+
+
+# functional aliases for the reference's in-place variants
+sym_solve_ = sym_solve
+sym_invert_ = sym_invert
+
+
+def sym_addmatvec_(acc, mat, vec):
+    """Alias of :func:`sym_addmatvec` (functional; donation replaces
+    in-place)."""
+    return sym_addmatvec(acc, mat, vec)
+
+
+def sym_submatvec_(acc, mat, vec):
+    """Alias of :func:`sym_submatvec` (functional)."""
+    return sym_submatvec(acc, mat, vec)

@@ -1,0 +1,114 @@
+"""Parity tests for batched small-matrix ops vs numpy oracles.
+
+Mirrors the reference's test_batched.py strategy (batchdet vs det,
+batchinv vs inv with diagonally-dominant inputs, matvec vs matmul,
+shapes 1x1..4x4 + non-square + broadcasting) and extends to the
+chol/logdet/lmdiv/rmdiv suite.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fastmath_tpu.ops import batched as B
+
+NS = [1, 2, 3, 4, 5, 8, 12]
+
+
+def dom(rng, batch, n):
+    a = rng.standard_normal((*batch, n, n))
+    a[..., np.arange(n), np.arange(n)] += 10
+    return a
+
+
+@pytest.mark.parametrize("n", NS)
+def test_batchdet(n, rng):
+    a = dom(rng, (100,), n)
+    got = np.asarray(B.batchdet(jnp.asarray(a)))
+    np.testing.assert_allclose(got, np.linalg.det(a), rtol=1e-9)
+
+
+@pytest.mark.parametrize("n", NS)
+@pytest.mark.parametrize("regularize", [False, True])
+def test_batchinv(n, regularize, rng):
+    if regularize and n > 4:
+        pytest.skip("regularizer only on the closed-form path")
+    a = dom(rng, (100,), n)
+    got = np.asarray(B.batchinv(jnp.asarray(a), regularize=regularize))
+    np.testing.assert_allclose(got, np.linalg.inv(a), rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.parametrize("m,n", [(1, 1), (2, 2), (3, 3), (4, 4), (4, 5), (6, 3)])
+def test_batchmatvec(m, n, rng):
+    mat = rng.standard_normal((7, m, n))
+    vec = rng.standard_normal((7, n))
+    got = np.asarray(B.batchmatvec(jnp.asarray(mat), jnp.asarray(vec)))
+    np.testing.assert_allclose(got, np.einsum("...ij,...j->...i", mat, vec),
+                               rtol=1e-12)
+
+
+def test_batchmatvec_broadcast(rng):
+    mat = rng.standard_normal((1, 5, 3, 3))
+    vec = rng.standard_normal((4, 1, 3))
+    got = np.asarray(B.batchmatvec(jnp.asarray(mat), jnp.asarray(vec)))
+    assert got.shape == (4, 5, 3)
+    want = np.einsum("...ij,...j->...i", mat, vec[:, None, 0])
+    np.testing.assert_allclose(got, np.einsum("xyij,xyj->xyi",
+                                              np.broadcast_to(mat, (4, 5, 3, 3)),
+                                              np.broadcast_to(vec[:, :, :], (4, 5, 3))),
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize("n", NS)
+@pytest.mark.parametrize("rhs", ["vec", "mat"])
+def test_batchlmdiv(n, rhs, rng):
+    a = dom(rng, (50,), n)
+    b = rng.standard_normal((50, n) if rhs == "vec" else (50, n, 2))
+    got = np.asarray(B.batchlmdiv(jnp.asarray(a), jnp.asarray(b)))
+    if rhs == "vec":
+        want = np.linalg.solve(a, b[..., None])[..., 0]
+    else:
+        want = np.linalg.solve(a, b)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_batchrmdiv(n, rng):
+    a = rng.standard_normal((20, 3, n))
+    b = dom(rng, (20,), n)
+    got = np.asarray(B.batchrmdiv(jnp.asarray(a), jnp.asarray(b)))
+    want = a @ np.linalg.inv(b)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 6, 8, 12, 16])
+def test_batchchol(n, rng):
+    a = rng.standard_normal((30, n, n))
+    a = a @ np.swapaxes(a, -1, -2) + n * np.eye(n)
+    got = np.asarray(B.batchchol(jnp.asarray(a)))
+    want = np.linalg.cholesky(a)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 8, 16])
+def test_batchlogdet(n, rng):
+    a = rng.standard_normal((30, n, n))
+    a = a @ np.swapaxes(a, -1, -2) + n * np.eye(n)
+    got = np.asarray(B.batchlogdet(jnp.asarray(a)))
+    want = np.linalg.slogdet(a)[1]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_grad_through_closed_forms(rng):
+    import jax
+
+    a = dom(rng, (5,), 3)
+
+    def loss(m):
+        return jnp.sum(B.batchinv(m) ** 2) + jnp.sum(B.batchlogdet(m))
+
+    g = jax.grad(loss)(jnp.asarray(a))
+    a0 = jnp.asarray(a)
+    h = 1e-6
+    e = jnp.zeros_like(a0).at[2, 1, 0].set(h)
+    fd = (loss(a0 + e) - loss(a0 - e)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(g[2, 1, 0]), np.asarray(fd), rtol=1e-5)
