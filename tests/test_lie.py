@@ -1,0 +1,120 @@
+"""Parity tests for Lie ops vs scipy.linalg (expm/logm oracles, SE(3))."""
+import numpy as np
+import scipy.linalg as sla
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastmath_tpu.ops import lie as L
+
+
+def se3_batch(rng, b, scale=1.0):
+    """Random se(3) log-matrices (4x4, last row zero)."""
+    X = np.zeros((b, 4, 4))
+    w = rng.standard_normal((b, 3)) * scale
+    v = rng.standard_normal((b, 3)) * scale
+    X[:, 0, 1], X[:, 0, 2], X[:, 1, 2] = -w[:, 2], w[:, 1], -w[:, 0]
+    X = X - np.swapaxes(X, -1, -2)
+    X[:, :3, 3] = v
+    X[:, 3, :] = 0
+    return X
+
+
+@pytest.mark.parametrize("scale", [0.1, 1.0, 5.0, 50.0])
+def test_expm_se3(scale, rng):
+    X = se3_batch(rng, 8, scale)
+    got = np.asarray(L.expm(jnp.asarray(X)))
+    want = np.stack([sla.expm(x) for x in X])
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_expm_general(rng):
+    X = rng.standard_normal((10, 5, 5))
+    got = np.asarray(L.expm(jnp.asarray(X)))
+    want = np.stack([sla.expm(x) for x in X])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_expm_basis(rng):
+    # so(3) basis
+    basis = np.zeros((3, 3, 3))
+    basis[0, 1, 2], basis[0, 2, 1] = -1, 1
+    basis[1, 0, 2], basis[1, 2, 0] = 1, -1
+    basis[2, 0, 1], basis[2, 1, 0] = -1, 1
+    coef = rng.standard_normal((6, 3))
+    got = np.asarray(L.expm(jnp.asarray(coef), jnp.asarray(basis)))
+    logmat = np.einsum("bf,fij->bij", coef, basis)
+    want = np.stack([sla.expm(x) for x in logmat])
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_logm_se3(rng):
+    X = se3_batch(rng, 8, 0.8)
+    M = np.stack([sla.expm(x) for x in X])
+    got = np.asarray(L.logm(jnp.asarray(M)))
+    want = np.stack([np.real(sla.logm(m)) for m in M])
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-9)
+
+
+def test_logm_spd(rng):
+    a = rng.standard_normal((12, 6, 6))
+    spd = np.einsum("...ij,...kj->...ik", a, a) + 6 * np.eye(6)
+    got = np.asarray(L.logm(jnp.asarray(spd)))
+    want = np.stack([np.real(sla.logm(m)) for m in spd])
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
+
+
+def test_logm_expm_roundtrip(rng):
+    X = se3_batch(rng, 6, 0.5)
+    back = np.asarray(L.logm(L.expm(jnp.asarray(X))))
+    np.testing.assert_allclose(back, X, rtol=1e-8, atol=1e-9)
+
+
+def test_expm_derivatives(rng):
+    basis = np.zeros((3, 3, 3))
+    basis[0, 1, 2], basis[0, 2, 1] = -1, 1
+    basis[1, 0, 2], basis[1, 2, 0] = 1, -1
+    basis[2, 0, 1], basis[2, 1, 0] = -1, 1
+    coef = jnp.asarray(rng.standard_normal((3,)) * 0.5)
+    b = jnp.asarray(basis)
+    E, dX, hX = L.expm_derivatives(coef, b, grad_X=True, hess_X=True)
+    assert dX.shape == (3, 3, 3)
+    assert hX.shape == (3, 3, 3, 3)
+    # finite differences on coefficients
+    h = 1e-6
+    for i in range(3):
+        e = jnp.zeros(3).at[i].set(h)
+        fd = (np.asarray(L.expm(coef + e, b)) - np.asarray(L.expm(coef - e, b))) / (2 * h)
+        np.testing.assert_allclose(np.asarray(dX[i]), fd, rtol=1e-5, atol=1e-7)
+    # hessian symmetric in (F, F)
+    np.testing.assert_allclose(np.asarray(hX), np.asarray(hX).transpose(1, 0, 2, 3),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_expm_grad(rng):
+    X = jnp.asarray(rng.standard_normal((2, 4, 4)) * 0.5)
+
+    def loss(x):
+        return jnp.sum(L.expm(x) ** 2)
+
+    g = jax.grad(loss)(X)
+    h = 1e-6
+    for idx in [(0, 1, 2), (1, 3, 0)]:
+        e = jnp.zeros_like(X).at[idx].set(h)
+        fd = (loss(X + e) - loss(X - e)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(g[idx]), np.asarray(fd), rtol=1e-5)
+
+
+def test_meanm_se3(rng):
+    X = se3_batch(rng, 10, 0.3)
+    M = np.stack([sla.expm(x) for x in X])
+    mean = np.asarray(L.meanm(jnp.asarray(M)))
+    # fixed-point condition: mean of logm(mean^-1 A_n) ~ 0
+    resid = np.stack([np.real(sla.logm(np.linalg.solve(mean, m))) for m in M])
+    np.testing.assert_allclose(resid.mean(0), 0, atol=1e-7)
+
+
+def test_meanm_identity():
+    eye = jnp.eye(4)[None].repeat(5, 0)
+    mean = np.asarray(L.meanm(eye))
+    np.testing.assert_allclose(mean, np.eye(4), atol=1e-12)
