@@ -1,0 +1,363 @@
+"""Pallas TPU kernels for compact-symmetric ops — the ``jitfields``
+replacement (reference ``sym.py:37``, external C++/CUDA kernels).
+
+Layout: these kernels run on **channel-first (SoA) storage** —
+``mat (NN, B)``, ``vec (N, B)`` — the TPU-native layout for this
+workload: the batch axis rides the 128-wide lane dimension, every
+coefficient stream is a contiguous HBM row, and Pallas's grid pipeline
+double-buffers blocks of lanes through VMEM at full HBM bandwidth. The
+reference/API layout (``(..., NN)``, channel-minor) puts a size-10 axis
+in the lane dimension, which wastes most of each memory transaction —
+that layout is served by the fused-XLA closed forms in
+:mod:`fastmath_tpu.ops.sym` instead.
+
+The per-element math is *generated from the same trace-time adjugate
+machinery* as the XLA path (:func:`fastmath_tpu.ops.sym._adjugate_apply`),
+so the two paths are numerically identical modulo instruction order.
+
+Autodiff: each kernel wrapper defines a ``custom_vjp`` whose backward
+pass is itself expressed with the same kernels (e.g. the solve VJP is
+two solves plus a compact outer product), mirroring how jitfields'
+kernels would have been differentiated by hand.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..layouts.sym import compact_size, sym_dim, tri_index
+from ..ops.sym import _adjugate_apply, _entries
+
+__all__ = [
+    "sym_solve_cf",
+    "sym_matvec_cf",
+    "sym_invert_cf",
+    "DEFAULT_BLOCK",
+]
+
+DEFAULT_BLOCK = 8192  # lanes per grid step (multiple of 128)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_to_block(arrs, block, diag_rows=0):
+    """Pad the lane axis up to a block multiple. The first ``diag_rows``
+    rows of the first array (a compact matrix's diagonal) pad with 1.0
+    so padded lanes hold the identity — keeps the padded region's solve
+    finite (no spurious NaNs under debug_nans)."""
+    b = arrs[0].shape[-1]
+    pad = (-b) % block
+    if pad:
+        padded = []
+        for idx, a in enumerate(arrs):
+            p = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+            if idx == 0 and diag_rows:
+                p = p.at[:diag_rows, b:].set(1.0)
+            padded.append(p)
+        arrs = padded
+    return arrs, b
+
+
+def _entries_rows(mat_ref_or_arr, n):
+    """Entry grid E[i][j] over the leading (channel) axis."""
+    return [
+        [mat_ref_or_arr[tri_index(i, j, n)] for j in range(n)]
+        for i in range(n)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (shared structure: rows = channels, lanes = batch)
+# ---------------------------------------------------------------------------
+
+
+def _solve_kernel(n, eps_vec, mat_ref, vec_ref, out_ref):
+    E = _entries_rows(mat_ref, n)
+    if eps_vec is not None:
+        for i in range(n):
+            E[i][i] = E[i][i] + eps_vec[i]
+    v = [vec_ref[j] for j in range(n)]
+    if n == 1:
+        out_ref[0] = v[0] / E[0][0]
+        return
+    out, det = _adjugate_apply(E, v, n)
+    inv_det = 1.0 / det
+    for i in range(n):
+        out_ref[i] = out[i] * inv_det
+
+
+def _matvec_kernel(n, mat_ref, vec_ref, out_ref):
+    v = [vec_ref[j] for j in range(n)]
+    for i in range(n):
+        acc = mat_ref[i] * v[i]
+        for j in range(n):
+            if j != i:
+                acc = acc + mat_ref[tri_index(i, j, n)] * v[j]
+        out_ref[i] = acc
+
+
+def _invert_kernel(n, mat_ref, out_ref):
+    from ..ops.sym import _det_expand
+
+    E = _entries_rows(mat_ref, n)
+    idx = tuple(range(n))
+    cache = {}
+    det = _det_expand(E, idx, idx, cache)
+    inv_det = 1.0 / det
+    c = n
+    for i in range(n):
+        for j in range(i, n):
+            rows = tuple(r for r in idx if r != j)
+            cols = tuple(cc for cc in idx if cc != i)
+            minor = _det_expand(E, rows, cols, cache)
+            cof = -minor if (i + j) % 2 else minor
+            k = i if i == j else c
+            if i != j:
+                c += 1
+            out_ref[k] = cof * inv_det
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers (channel-first 2-D operands)
+# ---------------------------------------------------------------------------
+
+
+def _call_rows(kernel, in_arrays, out_rows, block, interpret, diag_rows=0):
+    """Run ``kernel`` over blocks of lanes: inputs ``(rows_i, B)`` ->
+    output ``(out_rows, B)``.
+
+    Layout trick: each ``(rows, B)`` operand is viewed as
+    ``(rows, B/128, 128)`` (a free row-major reshape) so the *tiled*
+    trailing dims are exactly ``(B/128, 128)`` — zero sublane/lane
+    padding in HBM and VMEM, full-bandwidth DMA. Leaving the channel
+    axis minor-most-2 (as ``(rows, B)``) would pad rows to the 8-sublane
+    tile (10 -> 16, 4 -> 8) and waste ~40% of every transaction.
+    """
+    block = max(128, (block // 128) * 128)
+    (padded, b) = _pad_to_block(list(in_arrays), block, diag_rows=diag_rows)
+    bp = padded[0].shape[-1]
+    grid = (bp // block,)
+    bb = block // 128
+    padded = [a.reshape(a.shape[0], bp // 128, 128) for a in padded]
+    in_specs = [
+        pl.BlockSpec((a.shape[0], bb, 128), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM)
+        for a in padded
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((out_rows, bb, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((out_rows, bp // 128, 128),
+                                       padded[0].dtype),
+        interpret=interpret,
+    )(*padded)
+    return out.reshape(out_rows, bp)[:, :b]
+
+
+def _prep_eps(eps, n, dtype):
+    if eps is None:
+        return None
+    e = np.asarray(eps, dtype=np.float64).ravel()
+    if e.size < n:
+        e = np.concatenate([e, np.full(n - e.size, e[-1])])
+    return tuple(float(x) for x in e[:n])
+
+
+# --- solve -----------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _solve_cf(mat, vec, eps_tuple, block, interpret):
+    n = vec.shape[0]
+    kern = functools.partial(_solve_kernel, n, eps_tuple)
+    return _call_rows(kern, (mat, vec), n, block, interpret, diag_rows=n)
+
+
+def _solve_cf_fwd(mat, vec, eps_tuple, block, interpret):
+    x = _solve_cf(mat, vec, eps_tuple, block, interpret)
+    return x, (mat, x)
+
+
+def _solve_cf_bwd(eps_tuple, block, interpret, res, g):
+    # x = A^{-1} v  =>  dv = A^{-1} g (A symmetric);  dA = -dv x^T,
+    # compacted: diag_i = -dv_i x_i, offdiag (i<j) = -(dv_i x_j + dv_j x_i)
+    mat, x = res
+    n = x.shape[0]
+    dv = _solve_cf(mat, g, eps_tuple, block, interpret)
+    rows = [-dv[i] * x[i] for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            rows.append(-(dv[i] * x[j] + dv[j] * x[i]))
+    dmat = jnp.stack(rows, axis=0)
+    return dmat, dv
+
+
+_solve_cf.defvjp(_solve_cf_fwd, _solve_cf_bwd)
+
+
+def sym_solve_cf(
+    mat: jnp.ndarray,
+    vec: jnp.ndarray,
+    eps=None,
+    block: int = DEFAULT_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    r"""Channel-first compact-symmetric solve ``A \ v``:
+    ``mat (NN, ...)``, ``vec (N, ...)`` -> ``(N, ...)``.
+
+    The Pallas fast path for the north-star op (jitfields
+    ``sym_solve``, reference ``sym.py:28-37``). Batch dims after the
+    channel axis are flattened into lanes. N <= 4 only.
+    """
+    mat = jnp.asarray(mat)
+    vec = jnp.asarray(vec)
+    n = vec.shape[0]
+    if mat.shape[0] != compact_size(n):
+        raise ValueError(
+            f"channel-first sym_solve expects mat ({compact_size(n)}, ...) "
+            f"for vec ({n}, ...); got {mat.shape[0]}"
+        )
+    if n > 4:
+        raise ValueError("pallas sym_solve_cf implements N <= 4")
+    if interpret is None:
+        interpret = _interpret_default()
+    batch_shape = np.broadcast_shapes(mat.shape[1:], vec.shape[1:])
+    dtype = jnp.result_type(mat, vec)
+    mat = jnp.broadcast_to(mat.astype(dtype), (mat.shape[0], *batch_shape))
+    vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
+    m2 = mat.reshape(mat.shape[0], -1)
+    v2 = vec.reshape(n, -1)
+    out = _solve_cf(m2, v2, _prep_eps(eps, n, dtype), block, bool(interpret))
+    return out.reshape(n, *batch_shape)
+
+
+# --- matvec ----------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _matvec_cf(mat, vec, block, interpret):
+    n = vec.shape[0]
+    kern = functools.partial(_matvec_kernel, n)
+    return _call_rows(kern, (mat, vec), n, block, interpret)
+
+
+def _matvec_cf_fwd(mat, vec, block, interpret):
+    return _matvec_cf(mat, vec, block, interpret), (mat, vec)
+
+
+def _matvec_cf_bwd(block, interpret, res, g):
+    # y = A v: dv = A g (symmetric); dA compact: diag_i = g_i v_i,
+    # offdiag (i<j) = g_i v_j + g_j v_i
+    mat, vec = res
+    n = vec.shape[0]
+    dv = _matvec_cf(mat, g, block, interpret)
+    rows = [g[i] * vec[i] for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            rows.append(g[i] * vec[j] + g[j] * vec[i])
+    return jnp.stack(rows, axis=0), dv
+
+
+_matvec_cf.defvjp(_matvec_cf_fwd, _matvec_cf_bwd)
+
+
+def sym_matvec_cf(
+    mat: jnp.ndarray,
+    vec: jnp.ndarray,
+    block: int = DEFAULT_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Channel-first compact-symmetric matvec ``A @ v``:
+    ``mat (NN, ...)``, ``vec (N, ...)`` -> ``(N, ...)`` (Pallas)."""
+    mat = jnp.asarray(mat)
+    vec = jnp.asarray(vec)
+    n = vec.shape[0]
+    if mat.shape[0] != compact_size(n):
+        raise ValueError(
+            f"channel-first sym_matvec expects mat ({compact_size(n)}, ...); "
+            f"got {mat.shape[0]} for vec ({n}, ...)"
+        )
+    if interpret is None:
+        interpret = _interpret_default()
+    batch_shape = np.broadcast_shapes(mat.shape[1:], vec.shape[1:])
+    dtype = jnp.result_type(mat, vec)
+    mat = jnp.broadcast_to(mat.astype(dtype), (mat.shape[0], *batch_shape))
+    vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
+    out = _matvec_cf(mat.reshape(mat.shape[0], -1), vec.reshape(n, -1),
+                     block, bool(interpret))
+    return out.reshape(n, *batch_shape)
+
+
+# --- invert ----------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _invert_cf(mat, block, interpret):
+    n = sym_dim(mat.shape[0])
+    kern = functools.partial(_invert_kernel, n)
+    return _call_rows(kern, (mat,), mat.shape[0], block, interpret,
+                      diag_rows=n)
+
+
+def _invert_cf_fwd(mat, block, interpret):
+    y = _invert_cf(mat, block, interpret)
+    return y, y
+
+
+def _invert_cf_bwd(block, interpret, y, g):
+    # Y = inv(A) read from the upper triangle: with Gbar[i,j] = g_k for
+    # i <= j (0 below), Abar_full = -Y Gbar Y, and the compact cotangent
+    # folds (i, j) + (j, i). Trace-time n^4 loop (n <= 4).
+    nn = y.shape[0]
+    n = sym_dim(nn)
+    Y = [[y[tri_index(i, j, n)] for j in range(n)] for i in range(n)]
+    G = [[g[tri_index(i, j, n)] if i <= j else None for j in range(n)]
+         for i in range(n)]
+
+    def abar(a, b):
+        acc = None
+        for i in range(n):
+            for j in range(i, n):
+                term = Y[a][i] * G[i][j] * Y[j][b]
+                acc = term if acc is None else acc + term
+        return -acc
+
+    rows = [abar(i, i) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            rows.append(abar(i, j) + abar(j, i))
+    return (jnp.stack(rows, axis=0),)
+
+
+_invert_cf.defvjp(_invert_cf_fwd, _invert_cf_bwd)
+
+
+def sym_invert_cf(
+    mat: jnp.ndarray,
+    block: int = DEFAULT_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Channel-first compact-symmetric inverse ``(NN, ...) -> (NN, ...)``
+    (Pallas; N <= 4), with a hand-derived compact-cotangent VJP."""
+    mat = jnp.asarray(mat)
+    nn = mat.shape[0]
+    n = sym_dim(nn)
+    if n > 4:
+        raise ValueError("pallas sym_invert_cf implements N <= 4")
+    if interpret is None:
+        interpret = _interpret_default()
+    batch_shape = mat.shape[1:]
+    m2 = mat.reshape(nn, -1)
+    out = _invert_cf(m2, block, bool(interpret))
+    return out.reshape(nn, *batch_shape)

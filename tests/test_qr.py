@@ -1,0 +1,189 @@
+"""Tests for batched QR machinery and Jacobi eig_sym vs numpy oracles."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastmath_tpu.ops import qr as Q
+
+
+def randsym(rng, b, n):
+    a = rng.standard_normal((b, n, n))
+    return a + np.swapaxes(a, -1, -2)
+
+
+@pytest.mark.parametrize("n", [2, 3, 4, 8, 16])
+def test_eig_sym_values(n, rng):
+    a = randsym(rng, 20, n)
+    w = np.sort(np.asarray(Q.eig_sym(jnp.asarray(a))), axis=-1)
+    want = np.sort(np.linalg.eigvalsh(a), axis=-1)
+    np.testing.assert_allclose(w, want, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("n", [2, 5, 8])
+def test_eig_sym_vectors(n, rng):
+    a = randsym(rng, 10, n)
+    w, u = Q.eig_sym(jnp.asarray(a), compute_u=True)
+    w, u = np.asarray(w), np.asarray(u)
+    # A u_i = w_i u_i
+    recon = np.einsum("...ij,...j,...kj->...ik", u, w, u)
+    np.testing.assert_allclose(recon, a, rtol=1e-8, atol=1e-8)
+    # orthonormality
+    gram = np.einsum("...ji,...jk->...ik", u, u)
+    np.testing.assert_allclose(gram, np.broadcast_to(np.eye(n), gram.shape),
+                               atol=1e-9)
+
+
+def test_eig_sym_upper_lower(rng):
+    a = randsym(rng, 5, 4)
+    junk_lower = a.copy()
+    junk_lower[..., np.tril_indices(4, -1)[0], np.tril_indices(4, -1)[1]] = 99.0
+    w1 = np.sort(np.asarray(Q.eig_sym(jnp.asarray(junk_lower), upper=True)), -1)
+    want = np.sort(np.linalg.eigvalsh(a), -1)
+    np.testing.assert_allclose(w1, want, rtol=1e-9, atol=1e-9)
+    junk_upper = a.copy()
+    junk_upper[..., np.triu_indices(4, 1)[0], np.triu_indices(4, 1)[1]] = -7.0
+    w2 = np.sort(np.asarray(Q.eig_sym(jnp.asarray(junk_upper), upper=False)), -1)
+    np.testing.assert_allclose(w2, want, rtol=1e-9, atol=1e-9)
+
+
+def test_eig_sym_grad(rng):
+    a = randsym(rng, 3, 4)
+    aj = jnp.asarray(a)
+
+    def loss(m):
+        w = Q.eig_sym(m, check_finite=False)
+        return jnp.sum(w**3)
+
+    g = jax.grad(loss)(aj)
+    h = 1e-6
+    for idx in [(0, 0, 0), (1, 1, 2), (2, 3, 3)]:
+        e = jnp.zeros_like(aj).at[idx].set(h)
+        # symmetrize the perturbation like the function does internally
+        fd = (loss(aj + e) - loss(aj - e)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(g[idx]), np.asarray(fd),
+                                   rtol=1e-4, atol=1e-8)
+
+
+def test_eig_sym_vector_grad(rng):
+    a = randsym(rng, 2, 3)
+    aj = jnp.asarray(a)
+    wmat = jnp.asarray(rng.standard_normal((2, 3, 3)))
+
+    def loss(m):
+        w, u = Q.eig_sym(m, compute_u=True, check_finite=False)
+        # gauge-invariant functional of eigenvectors
+        p = jnp.einsum("...ij,...j,...kj->...ik", u, jnp.exp(w), u)
+        return jnp.sum(p * wmat)
+
+    g = jax.grad(loss)(aj)
+    h = 1e-6
+    for idx in [(0, 0, 1), (1, 2, 2)]:
+        e = jnp.zeros_like(aj).at[idx].set(h)
+        fd = (loss(aj + e) - loss(aj - e)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(g[idx]), np.asarray(fd),
+                                   rtol=1e-4, atol=1e-8)
+
+
+def test_check_finite():
+    bad = jnp.asarray([[jnp.inf, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError):
+        Q.eig_sym(bad)
+    with pytest.raises(ValueError):
+        Q.hessenberg(jnp.full((3, 4), jnp.nan))
+
+
+def test_householder(rng):
+    x = rng.standard_normal((6, 5))
+    u, alpha = Q.householder(jnp.asarray(x), return_alpha=True)
+    u, alpha = np.asarray(u), np.asarray(alpha)
+    for b in range(6):
+        P = np.eye(5) - 2 * np.outer(u[b], u[b])
+        px = P @ x[b]
+        np.testing.assert_allclose(px[0], alpha[b], rtol=1e-10)
+        np.testing.assert_allclose(px[1:], 0, atol=1e-10)
+        np.testing.assert_allclose(abs(alpha[b]), np.linalg.norm(x[b]), rtol=1e-12)
+
+
+def test_householder_apply(rng):
+    a = rng.standard_normal((4, 4))
+    x = rng.standard_normal(4)
+    u = Q.householder(jnp.asarray(x))
+    P = np.eye(4) - 2 * np.outer(np.asarray(u), np.asarray(u))
+    got = np.asarray(Q.householder_apply(jnp.asarray(a), u, side="both"))
+    np.testing.assert_allclose(got, P @ a @ P, rtol=1e-10, atol=1e-12)
+    got = np.asarray(Q.householder_apply(jnp.asarray(a), u, side="left"))
+    np.testing.assert_allclose(got, P @ a, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [3, 5, 8])
+def test_hessenberg(n, rng):
+    a = rng.standard_normal((4, n, n))
+    h, us = Q.hessenberg(jnp.asarray(a), compute_u=True)
+    h = np.asarray(h)
+    # Hessenberg structure
+    for i in range(n):
+        for j in range(n):
+            if i > j + 1:
+                np.testing.assert_allclose(h[..., i, j], 0, atol=1e-10)
+    # similarity: same eigenvalues
+    np.testing.assert_allclose(
+        np.sort_complex(np.linalg.eigvals(h)),
+        np.sort_complex(np.linalg.eigvals(a)), rtol=1e-7, atol=1e-8)
+
+
+@pytest.mark.parametrize("upper", [True, False])
+def test_hessenberg_sym(upper, rng):
+    a = randsym(rng, 3, 6)
+    h = np.asarray(Q.hessenberg_sym(jnp.asarray(a), upper=upper))
+    # tridiagonal
+    for i in range(6):
+        for j in range(6):
+            if abs(i - j) > 1:
+                np.testing.assert_allclose(h[..., i, j], 0, atol=1e-9)
+    np.testing.assert_allclose(np.sort(np.linalg.eigvalsh(h), -1),
+                               np.sort(np.linalg.eigvalsh(a), -1),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_givens():
+    c, s = Q.givens(jnp.asarray(3.0), jnp.asarray(4.0))
+    # G @ [x, y] = [r, 0] with G = [[c, -s], [s, c]]
+    G = np.array([[float(c), -float(s)], [float(s), float(c)]])
+    np.testing.assert_allclose(G @ [3.0, 4.0], [5.0, 0.0], atol=1e-12)
+    c, s = Q.givens(jnp.asarray(0.0), jnp.asarray(0.0))
+    assert float(c) == 1.0 and float(s) == 0.0
+
+
+def test_givens_apply(rng):
+    a = rng.standard_normal((4, 4))
+    c, s = Q.givens(jnp.asarray(a[1, 0]), jnp.asarray(a[2, 0]))
+    got = np.asarray(Q.givens_apply(jnp.asarray(a), c, s, i=1, j=2, side="left"))
+    G = np.eye(4)
+    G[1, 1], G[1, 2], G[2, 1], G[2, 2] = float(c), -float(s), float(s), float(c)
+    np.testing.assert_allclose(got, G @ a, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [3, 6])
+def test_qr_hessenberg(n, rng):
+    a = rng.standard_normal((5, n, n))
+    h = np.asarray(Q.hessenberg(jnp.asarray(a)))
+    q, r = Q.qr_hessenberg(jnp.asarray(h))
+    q, r = np.asarray(q), np.asarray(r)
+    np.testing.assert_allclose(q @ r, h, rtol=1e-9, atol=1e-9)
+    # q orthogonal, r upper triangular
+    np.testing.assert_allclose(np.einsum("...ji,...jk->...ik", q, q),
+                               np.broadcast_to(np.eye(n), q.shape), atol=1e-10)
+    for i in range(n):
+        for j in range(i):
+            np.testing.assert_allclose(r[..., i, j], 0, atol=1e-10)
+
+
+def test_rq_hessenberg(rng):
+    n = 5
+    a = rng.standard_normal((3, n, n))
+    h = np.asarray(Q.hessenberg(jnp.asarray(a)))
+    q, r = Q.qr_hessenberg(jnp.asarray(h))
+    rq = np.asarray(Q.rq_hessenberg(jnp.asarray(h)))
+    np.testing.assert_allclose(rq, np.asarray(r) @ np.asarray(q),
+                               rtol=1e-9, atol=1e-9)

@@ -1,0 +1,136 @@
+"""Tests for the Pallas channel-first compact-sym kernels (interpret
+mode on CPU; the same kernels compile to Mosaic on TPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastmath_tpu.kernels import sym_matvec_cf, sym_solve_cf, sym_invert_cf
+from fastmath_tpu.layouts import full_to_sym, sym_to_full, compact_size
+
+
+def random_sym_cf(rng, b, n, dtype=np.float64, spd=True):
+    full = rng.standard_normal((b, n, n)).astype(dtype)
+    if spd:
+        full = np.einsum("...ij,...kj->...ik", full, full)
+        full = full + n * np.eye(n, dtype=dtype)
+    else:
+        full = full + np.swapaxes(full, -1, -2) + 3 * n * np.eye(n, dtype=dtype)
+    compact = np.asarray(full_to_sym(jnp.asarray(full)))
+    return full, np.ascontiguousarray(compact.T)  # (NN, B)
+
+
+NS = [1, 2, 3, 4]
+
+
+@pytest.mark.parametrize("n", NS)
+@pytest.mark.parametrize("b", [7, 130, 1000])
+def test_solve_cf(n, b, rng):
+    full, mat_cf = random_sym_cf(rng, b, n)
+    vec = rng.standard_normal((b, n))
+    got = np.asarray(sym_solve_cf(jnp.asarray(mat_cf), jnp.asarray(vec.T),
+                                  block=256)).T
+    want = np.linalg.solve(full, vec[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", NS)
+def test_matvec_cf(n, rng):
+    full, mat_cf = random_sym_cf(rng, 300, n, spd=False)
+    vec = rng.standard_normal((300, n))
+    got = np.asarray(sym_matvec_cf(jnp.asarray(mat_cf), jnp.asarray(vec.T),
+                                   block=256)).T
+    want = np.einsum("...ij,...j->...i", full, vec)
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", NS)
+def test_invert_cf(n, rng):
+    full, mat_cf = random_sym_cf(rng, 100, n)
+    got_cf = np.asarray(sym_invert_cf(jnp.asarray(mat_cf), block=256))
+    got = np.asarray(sym_to_full(jnp.asarray(got_cf.T)))
+    np.testing.assert_allclose(got, np.linalg.inv(full), rtol=1e-8, atol=1e-10)
+
+
+def test_solve_eps(rng):
+    n = 3
+    full, mat_cf = random_sym_cf(rng, 50, n)
+    vec = rng.standard_normal((50, n))
+    got = np.asarray(sym_solve_cf(jnp.asarray(mat_cf), jnp.asarray(vec.T),
+                                  eps=[0.5, 1.0], block=256)).T
+    want = np.linalg.solve(full + np.diag([0.5, 1.0, 1.0]), vec[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_solve_matches_xla_path(rng):
+    from fastmath_tpu.ops import sym as F
+
+    n = 4
+    full, mat_cf = random_sym_cf(rng, 123, n)
+    vec = rng.standard_normal((123, n))
+    pallas = np.asarray(sym_solve_cf(jnp.asarray(mat_cf), jnp.asarray(vec.T),
+                                     block=128)).T
+    xla = np.asarray(F.sym_solve(jnp.asarray(mat_cf.T), jnp.asarray(vec)))
+    np.testing.assert_allclose(pallas, xla, rtol=1e-12, atol=1e-13)
+
+
+def test_solve_grad(rng):
+    n = 3
+    full, mat_cf = random_sym_cf(rng, 20, n)
+    vec = jnp.asarray(rng.standard_normal((n, 20)))
+    mat = jnp.asarray(mat_cf)
+
+    def loss(m, v):
+        return jnp.sum(sym_solve_cf(m, v, block=128) ** 2)
+
+    gm, gv = jax.grad(loss, argnums=(0, 1))(mat, vec)
+    h = 1e-6
+    for idx in [(0, 0), (4, 7), (5, 19)]:
+        e = jnp.zeros_like(mat).at[idx].set(h)
+        fd = (loss(mat + e, vec) - loss(mat - e, vec)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(gm[idx]), np.asarray(fd), rtol=1e-4)
+    for idx in [(0, 0), (2, 13)]:
+        e = jnp.zeros_like(vec).at[idx].set(h)
+        fd = (loss(mat, vec + e) - loss(mat, vec - e)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(gv[idx]), np.asarray(fd), rtol=1e-4)
+
+
+def test_invert_grad(rng):
+    n = 3
+    full, mat_cf = random_sym_cf(rng, 10, n)
+    mat = jnp.asarray(mat_cf)
+    w = jnp.asarray(rng.standard_normal(mat.shape))
+
+    def loss(m):
+        return jnp.sum(sym_invert_cf(m, block=128) * w)
+
+    g = jax.grad(loss)(mat)
+    h = 1e-6
+    for idx in [(0, 0), (3, 5), (5, 9)]:
+        e = jnp.zeros_like(mat).at[idx].set(h)
+        fd = (loss(mat + e) - loss(mat - e)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(g[idx]), np.asarray(fd), rtol=1e-4)
+
+
+def test_matvec_grad(rng):
+    n = 2
+    full, mat_cf = random_sym_cf(rng, 15, n, spd=False)
+    mat = jnp.asarray(mat_cf)
+    vec = jnp.asarray(rng.standard_normal((n, 15)))
+
+    def loss(m, v):
+        return jnp.sum(sym_matvec_cf(m, v, block=128) ** 3)
+
+    gm, gv = jax.grad(loss, argnums=(0, 1))(mat, vec)
+    h = 1e-6
+    e = jnp.zeros_like(mat).at[(2, 3)].set(h)
+    fd = (loss(mat + e, vec) - loss(mat - e, vec)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(gm[2, 3]), np.asarray(fd), rtol=1e-4)
+    e = jnp.zeros_like(vec).at[(1, 4)].set(h)
+    fd = (loss(mat, vec + e) - loss(mat, vec - e)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(gv[1, 4]), np.asarray(fd), rtol=1e-4)
+
+
+def test_layout_error():
+    with pytest.raises(ValueError):
+        sym_solve_cf(jnp.zeros((7, 10)), jnp.zeros((4, 10)))
