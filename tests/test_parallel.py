@@ -1,0 +1,98 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh (conftest sets
+xla_force_host_platform_device_count=8 — the 'fake backend' axis)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastmath_tpu import parallel as PAR
+from fastmath_tpu.ops import sym as F
+from fastmath_tpu.ops import reduce as R
+
+
+requires_multi = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+@requires_multi
+def test_make_mesh():
+    mesh = PAR.make_mesh()
+    assert mesh.shape["dp"] == 8
+    mesh2 = PAR.make_mesh((4, 2), axis_names=("dp", "mp"))
+    assert mesh2.shape["dp"] == 4 and mesh2.shape["mp"] == 2
+
+
+@requires_multi
+def test_shard_batch_sym_solve(rng):
+    mesh = PAR.make_mesh()
+    b, n = 64, 3
+    full = rng.standard_normal((b, n, n))
+    full = np.einsum("...ij,...kj->...ik", full, full) + n * np.eye(n)
+    from fastmath_tpu.layouts import full_to_sym
+
+    compact = PAR.put_batch(full_to_sym(jnp.asarray(full)), mesh)
+    vec = PAR.put_batch(jnp.asarray(rng.standard_normal((b, n))), mesh)
+    sharded_solve = PAR.shard_batch(F.sym_solve, mesh)
+    got = np.asarray(jax.jit(sharded_solve)(compact, vec))
+    want = np.linalg.solve(full, np.asarray(vec)[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+@requires_multi
+def test_shard_batch_no_communication(rng):
+    """Batch sharding of sym_solve must compile with zero collectives."""
+    mesh = PAR.make_mesh()
+    from fastmath_tpu.layouts import full_to_sym
+
+    b, n = 64, 3
+    full = rng.standard_normal((b, n, n)) + 5 * np.eye(n)
+    compact = PAR.put_batch(full_to_sym(jnp.asarray(np.einsum(
+        "...ij,...kj->...ik", full, full))), mesh)
+    vec = PAR.put_batch(jnp.asarray(rng.standard_normal((b, n))), mesh)
+    fn = jax.jit(PAR.shard_batch(F.sym_solve, mesh))
+    hlo = fn.lower(compact, vec).compile().as_text()
+    for coll in ["all-reduce", "all-gather", "collective-permute",
+                 "reduce-scatter", "all-to-all"]:
+        assert coll not in hlo, f"unexpected collective {coll} in HLO"
+
+
+@requires_multi
+def test_shard_reduce_nansum(rng):
+    mesh = PAR.make_mesh()
+    x = rng.standard_normal((64, 5))
+    x[rng.random((64, 5)) < 0.2] = np.nan
+    xs = PAR.put_batch(jnp.asarray(x), mesh)
+    f = PAR.shard_reduce(lambda s: R.nansum(s), combine="sum", mesh=mesh)
+    got = float(jax.jit(f)(xs))
+    np.testing.assert_allclose(got, np.nansum(x), rtol=1e-12)
+
+    def local_stats(s):
+        return R.nansum(s), jnp.sum(~jnp.isnan(s))
+
+    f = PAR.shard_reduce(local_stats, combine="mean_weighted", mesh=mesh)
+    got = float(jax.jit(f)(xs))
+    np.testing.assert_allclose(got, np.nanmean(x), rtol=1e-12)
+
+
+@requires_multi
+def test_trapprox_sharded(rng):
+    mesh = PAR.make_mesh()
+    a = rng.standard_normal((40, 40))
+    a = a @ a.T + 40 * np.eye(40)
+    aj = jnp.asarray(a)
+    t = PAR.trapprox_sharded(lambda x: aj @ x, (40,), mesh, samples=512,
+                             key=jax.random.key(0))
+    np.testing.assert_allclose(float(t), np.trace(a), rtol=0.1)
+
+
+@requires_multi
+def test_gspmd_auto_sharding(rng):
+    """Plain jit on sharded inputs also partitions (GSPMD path)."""
+    mesh = PAR.make_mesh()
+    x = PAR.put_batch(jnp.asarray(rng.standard_normal((64, 10))), mesh)
+    v = PAR.put_batch(jnp.asarray(rng.standard_normal((64, 4))), mesh)
+    out = jax.jit(F.sym_matvec)(x, v)
+    # output stays distributed: each device holds a 1/8 shard
+    shard_rows = {s.data.shape[0] for s in out.addressable_shards}
+    assert shard_rows == {64 // 8}
