@@ -1,0 +1,148 @@
+"""North-star benchmark: 1M-batch 4x4 compact-symmetric solve.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/sec", "vs_baseline": N}
+
+- value: fp32 solves/sec on the default JAX backend (TPU chip under the
+  driver), measured with honest end-to-end timing (a scalar round-trip
+  forces queue drain; `block_until_ready` alone under-reports through
+  the axon relay).
+- vs_baseline: ratio vs the reference implementation
+  (`nitorch_fastmath._impl.sym.sym_solve`, its TorchScript closed-form
+  path) executed with torch on this host's available torch device —
+  the only reference hardware we can measure here (BASELINE.md: the
+  reference publishes no numbers). Falls back to 0.0 if torch or the
+  reference are unavailable.
+- accuracy gate: fp32 rel-err vs float64 numpy solve is printed to
+  stderr (north-star target: <= 1e-5; conditioned-input median/p99 are
+  the meaningful statistics for a random-Wishart batch).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+B, N = 1_000_000, 4
+SCAN_ITERS, REPS = 16, 3
+
+
+def _make_inputs(rng):
+    a = rng.standard_normal((B, N, N)).astype(np.float32)
+    spd = np.einsum("...ij,...kj->...ik", a, a) + N * np.eye(N, dtype=np.float32)
+    vec = rng.standard_normal((B, N)).astype(np.float32)
+    return spd, vec
+
+
+def bench_ours(spd, vec):
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from fastmath_tpu.layouts import full_to_sym
+    from fastmath_tpu.kernels import sym_solve_cf
+    from fastmath_tpu.ops.sym import sym_solve
+
+    compact = np.asarray(full_to_sym(jnp.asarray(spd)))
+    on_tpu = jax.default_backend() == "tpu"
+
+    if on_tpu:
+        mat = jax.device_put(jnp.asarray(compact.T.copy()))
+        v = jax.device_put(jnp.asarray(vec.T.copy()))
+        step = lambda m, c: sym_solve_cf(m, c, block=32768)
+    else:
+        mat = jax.device_put(jnp.asarray(compact))
+        v = jax.device_put(jnp.asarray(vec))
+        step = sym_solve
+
+    @jax.jit
+    def run(m, v0):
+        def body(c, _):
+            return step(m, c), ()
+        out, _ = jax.lax.scan(body, v0, None, length=SCAN_ITERS)
+        return out
+
+    out = run(mat, v)  # compile + warmup
+    _ = float(jnp.sum(out))
+    t0 = time.time()
+    for _ in range(REPS):
+        _ = float(jnp.sum(run(mat, v)))
+    dt = (time.time() - t0) / REPS / SCAN_ITERS
+    solves_per_sec = B / dt
+
+    # accuracy gate on a slice (single application, fp32 vs f64 oracle)
+    single = step(mat[..., :65536] if on_tpu else mat[:65536],
+                  v[..., :65536] if on_tpu else v[:65536])
+    got = np.asarray(single, dtype=np.float64)
+    if on_tpu:
+        got = got.T
+    want = np.linalg.solve(spd[:65536].astype(np.float64),
+                           vec[:65536].astype(np.float64)[..., None])[..., 0]
+    rel = np.abs(got - want) / (np.abs(want) + 1e-30)
+    print(
+        f"[bench] backend={jax.default_backend()} rel-err median="
+        f"{np.median(rel):.2e} p99={np.quantile(rel, 0.99):.2e} "
+        f"max={rel.max():.2e}",
+        file=sys.stderr,
+    )
+    return solves_per_sec
+
+
+def bench_reference(spd, vec):
+    """Reference TorchScript closed-form sym_solve on this host's torch."""
+    try:
+        import importlib.util
+
+        import torch
+
+        spec = importlib.util.spec_from_file_location(
+            "_ref_sym", "/root/reference/nitorch_fastmath/_impl/sym.py"
+        )
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        nb = min(B, 200_000)  # keep the CPU run bounded
+        full = np.asarray(spd[:nb])
+        rows, cols = np.triu_indices(N, 1)
+        compact = np.concatenate(
+            [full[..., np.arange(N), np.arange(N)], full[..., rows, cols]],
+            axis=-1,
+        )
+        mat = torch.as_tensor(compact)
+        v = torch.as_tensor(vec[:nb])
+        ref.sym_solve(mat, v)  # warmup / TS compile
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            ref.sym_solve(mat, v)
+        dt = (time.time() - t0) / reps
+        return nb / dt
+    except Exception as e:  # reference or torch unavailable
+        print(f"[bench] reference baseline unavailable: {e}", file=sys.stderr)
+        return 0.0
+
+
+def main():
+    rng = np.random.default_rng(0)
+    spd, vec = _make_inputs(rng)
+    ours = bench_ours(spd, vec)
+    ref = bench_reference(spd, vec)
+    vs = ours / ref if ref else 0.0
+    print(
+        f"[bench] ours={ours:.3e} solves/s, reference(torch-"
+        f"{'cpu'})={ref:.3e} solves/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "1M-batch 4x4 sym_solve throughput (fp32, per chip)",
+                "value": round(ours),
+                "unit": "solves/sec",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
