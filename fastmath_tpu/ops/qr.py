@@ -176,7 +176,6 @@ def hessenberg(
     for k in range(n - 2):
         col = a[..., :, k]
         # zero out entries <= k so the reflector acts on rows k+1..n-1
-        mask = (np.arange(n) > k + 1).astype(float)
         tail = col * jnp.asarray(
             (np.arange(n) >= k + 1).astype(float), dtype=a.real.dtype
         )
@@ -212,18 +211,13 @@ def hessenberg_sym(
     n = a.shape[-1]
     rows = np.arange(n)[:, None]
     cols = np.arange(n)[None, :]
-    if upper:
-        tri = jnp.where(jnp.asarray(rows <= cols), a, jnp.zeros((), a.dtype))
-        sym = tri + jnp.swapaxes(jnp.conjugate(tri), -1, -2)
-        sym = sym - jnp.eye(n, dtype=a.dtype) * jnp.real(
-            jnp.diagonal(a, axis1=-2, axis2=-1)
-        )[..., None, :] * jnp.eye(n, dtype=a.dtype)
-    else:
-        tri = jnp.where(jnp.asarray(rows >= cols), a, jnp.zeros((), a.dtype))
-        sym = tri + jnp.swapaxes(jnp.conjugate(tri), -1, -2)
-        sym = sym - jnp.eye(n, dtype=a.dtype) * jnp.real(
-            jnp.diagonal(a, axis1=-2, axis2=-1)
-        )[..., None, :] * jnp.eye(n, dtype=a.dtype)
+    keep = rows <= cols if upper else rows >= cols
+    tri = jnp.where(jnp.asarray(keep), a, jnp.zeros((), a.dtype))
+    # symmetrize from the chosen triangle; the diagonal (real for a
+    # Hermitian input) would otherwise be counted twice
+    eye = jnp.eye(n, dtype=a.dtype)
+    diag = jnp.real(jnp.diagonal(a, axis1=-2, axis2=-1)).astype(a.dtype)
+    sym = tri + jnp.swapaxes(jnp.conjugate(tri), -1, -2) - eye * diag[..., None, :]
     out = hessenberg(sym, check_finite=False, compute_u=compute_u)
     h, us = out if compute_u else (out, None)
     if not fill:
