@@ -348,39 +348,55 @@ _JACOBI_SWEEPS_MAX = 30
 
 def _jacobi_sweep(a, v):
     """One cyclic Jacobi sweep over all (p, q) pairs (trace-time loop).
-    Rotations on converged matrices vanish (a_pq = 0 -> identity)."""
+    Rotations on converged matrices vanish (a_pq = 0 -> identity).
+
+    Handles real symmetric and complex Hermitian input: the (p, q)
+    rotation is ``J = [[c, -conj(s)], [s, c]]`` with ``s = sigma *
+    exp(-i phi)``, ``phi = angle(a_pq)`` — for real input this reduces
+    to the classic Golub & Van Loan rotation.
+    """
     n = a.shape[-1]
+    is_complex = jnp.issubdtype(a.dtype, jnp.complexfloating)
     for p in range(n - 1):
         for q in range(p + 1, n):
             apq = a[..., p, q]
-            app = a[..., p, p]
-            aqq = a[..., q, q]
+            app = jnp.real(a[..., p, p])
+            aqq = jnp.real(a[..., q, q])
+            r = jnp.abs(apq)
+            active = r > 0
+            rsafe = jnp.where(active, r, 1.0)
             # stable Jacobi rotation (Golub & Van Loan alg. 8.4.1)
-            active = jnp.abs(apq) > 0
-            tau = (aqq - app) / (2.0 * jnp.where(active, apq, 1.0))
-            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-            t = jnp.where(jnp.sign(tau) == 0, 1.0 / (tau + jnp.sqrt(1.0 + tau * tau)), t)
+            tau = (aqq - app) / (2.0 * rsafe)
+            # zero condition (c^2 - sigma^2) r + c sigma (aqq - app) = 0
+            # -> small root t = -sign(tau) / (|tau| + sqrt(1 + tau^2))
+            sgn = jnp.where(tau >= 0, 1.0, -1.0)
+            t = -sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
             t = jnp.where(active, t, 0.0)
             c = 1.0 / jnp.sqrt(1.0 + t * t)
-            s = t * c
-            # A <- J^T A J on rows/cols p, q  (J rotates (p,q) plane)
+            sigma = t * c
+            # phase of a_pq (for real input this is its sign)
+            phase = jnp.where(active, apq / rsafe.astype(a.dtype),
+                              jnp.ones((), a.dtype))
+            s = sigma.astype(a.dtype) * jnp.conjugate(phase)
+            cB = c[..., None].astype(a.dtype)
+            sB = s[..., None]
+            # A <- J^H A J:  rows by J^H = [[c, conj(s)], [-s, c]]
             rp = a[..., p, :]
             rq = a[..., q, :]
-            cB = c[..., None]
-            sB = s[..., None]
-            a = a.at[..., p, :].set(cB * rp - sB * rq)
-            a = a.at[..., q, :].set(sB * rp + cB * rq)
+            a = a.at[..., p, :].set(cB * rp + jnp.conjugate(sB) * rq)
+            a = a.at[..., q, :].set(-sB * rp + cB * rq)
+            # cols by J: col_p' = c col_p + s col_q
             cp = a[..., :, p]
             cq = a[..., :, q]
-            a = a.at[..., :, p].set(cB[..., 0][..., None] * cp - sB[..., 0][..., None] * cq)
-            a = a.at[..., :, q].set(sB[..., 0][..., None] * cp + cB[..., 0][..., None] * cq)
-            # hygiene: force exact symmetry of the zeroed pair
+            a = a.at[..., :, p].set(cB * cp + sB * cq)
+            a = a.at[..., :, q].set(-jnp.conjugate(sB) * cp + cB * cq)
+            # hygiene: force the zeroed pair exactly
             a = a.at[..., p, q].set(0.0)
             a = a.at[..., q, p].set(0.0)
             vp = v[..., :, p]
             vq = v[..., :, q]
-            v = v.at[..., :, p].set(cB[..., 0][..., None] * vp - sB[..., 0][..., None] * vq)
-            v = v.at[..., :, q].set(sB[..., 0][..., None] * vp + cB[..., 0][..., None] * vq)
+            v = v.at[..., :, p].set(cB * vp + sB * vq)
+            v = v.at[..., :, q].set(-jnp.conjugate(sB) * vp + cB * vq)
     return a, v
 
 
@@ -390,8 +406,9 @@ def _eig_sym_fwd_impl(a, max_sweeps: int, tol: float):
     v0 = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
 
     def off(m):
-        return jnp.sum(m * m, axis=(-2, -1)) - jnp.sum(
-            jnp.diagonal(m, axis1=-2, axis2=-1) ** 2, axis=-1
+        m2 = jnp.abs(m) ** 2
+        return jnp.sum(m2, axis=(-2, -1)) - jnp.sum(
+            jnp.diagonal(m2, axis1=-2, axis2=-1), axis=-1
         )
 
     def cond(carry):
@@ -459,20 +476,19 @@ def eig_sym(
     trust. Reference analog: ``qr.py:30-100`` / ``_impl/qr.py:660-735``.
     """
     a = _check_finite_square(a, check_finite)
-    if jnp.issubdtype(a.dtype, jnp.complexfloating):
-        raise NotImplementedError(
-            "complex Hermitian eig_sym is not implemented yet"
-        )
-    if not jnp.issubdtype(a.dtype, jnp.floating):
+    is_complex = jnp.issubdtype(a.dtype, jnp.complexfloating)
+    if not is_complex and not jnp.issubdtype(a.dtype, jnp.floating):
         a = a.astype(jnp.result_type(float))
     n = a.shape[-1]
     rows = np.arange(n)[:, None]
     cols = np.arange(n)[None, :]
     keep = jnp.asarray(rows <= cols if upper else rows >= cols)
     tri = jnp.where(keep, a, jnp.zeros((), a.dtype))
-    diag = jnp.diagonal(tri, axis1=-2, axis2=-1)
-    sym = tri + jnp.swapaxes(tri, -1, -2) - diag[..., None] * jnp.eye(n, dtype=a.dtype)
+    eye = jnp.eye(n, dtype=a.dtype)
+    diag = jnp.real(jnp.diagonal(tri, axis1=-2, axis2=-1)).astype(a.dtype)
+    sym = tri + jnp.swapaxes(jnp.conjugate(tri), -1, -2) - diag[..., None] * eye
     max_sweeps = int(min(max_iter, _JACOBI_SWEEPS_MAX))
     eff_tol = float(tol) if tol else float(jnp.finfo(a.dtype).eps) ** 2
     w, u = _eig_sym_core(sym, max_sweeps, eff_tol)
+    w = jnp.real(w)
     return (w, u) if compute_u else w

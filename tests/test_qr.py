@@ -34,6 +34,22 @@ def test_eig_sym_vectors(n, rng):
                                atol=1e-9)
 
 
+@pytest.mark.parametrize("n", [2, 4, 6])
+def test_eig_sym_complex_hermitian(n, rng):
+    h = rng.standard_normal((6, n, n)) + 1j * rng.standard_normal((6, n, n))
+    h = h + np.conj(np.swapaxes(h, -1, -2))
+    w, u = Q.eig_sym(jnp.asarray(h), compute_u=True)
+    w, u = np.asarray(w), np.asarray(u)
+    assert not np.iscomplexobj(w)  # eigenvalues of a Hermitian are real
+    np.testing.assert_allclose(np.sort(w, -1), np.sort(np.linalg.eigvalsh(h), -1),
+                               rtol=1e-8, atol=1e-8)
+    recon = np.einsum("...ij,...j,...kj->...ik", u, w, np.conj(u))
+    np.testing.assert_allclose(recon, h, rtol=1e-8, atol=1e-8)
+    gram = np.einsum("...ji,...jk->...ik", np.conj(u), u)
+    np.testing.assert_allclose(gram, np.broadcast_to(np.eye(n), gram.shape),
+                               atol=1e-9)
+
+
 def test_eig_sym_upper_lower(rng):
     a = randsym(rng, 5, 4)
     junk_lower = a.copy()
