@@ -96,9 +96,16 @@ def _besseli_series_log(nu: float, z, m_terms: int):
     return jnp.log(f) + nu * x - lgamma_nu_1
 
 
-def _besseli_large_log(nu: float, z):
-    """log I_nu(z) by the uniform asymptotic expansion (A&S p.378),
-    branch-blended with double-where (reference ``special.py:247-313``)."""
+def _besseli_large_log(nu: float, z, minus_z: bool = False):
+    """log I_nu(z) (or log I_nu(z) - z when ``minus_z``) by the uniform
+    asymptotic expansion (A&S p.378), branch-blended with double-where
+    (reference ``special.py:247-313``).
+
+    ``minus_z`` computes the exponent of the exp-scaled Bessel without
+    large-argument cancellation: ``nu*T - z`` is evaluated as
+    ``nu^2 / (z (T + 1))`` (branch 1) / ``nu / (T + w)`` (branch 2),
+    which keeps fp32/bf16 'norm' mode accurate at large z.
+    """
     # With w = z/nu and T = sqrt(1 + w^2) (A&S 9.7.7):
     #   log I_nu ~ nu*(T + log(w/(1+T))) - log(sqrt(2 pi nu)) + 0.5*log(t)
     #             + log(u-series(t)),   t = 1/T.
@@ -112,10 +119,16 @@ def _besseli_large_log(nu: float, z):
     z1 = jnp.maximum(z, 2.0 * nu)  # double-where guards
     tmp1 = jnp.sqrt(1.0 + (nu / z1) ** 2)
     t1 = z1 * tmp1 / nu
-    e1 = nu * (t1 - jnp.log(nu / z1 + tmp1))
     z2 = jnp.minimum(z, 2.0 * nu)
     t2 = jnp.sqrt(1.0 + (z2 / nu) ** 2)
-    e2 = nu * (t2 + jnp.log(z2 / (nu * (1.0 + t2))))
+    if minus_z:
+        # nu*t1 - z1 = z1*(sqrt(1+(nu/z1)^2) - 1) = nu^2/(z1*(tmp1+1))
+        e1 = nu * nu / (z1 * (tmp1 + 1.0)) - nu * jnp.log(nu / z1 + tmp1)
+        # nu*t2 - z2 = nu*(sqrt(1+w^2) - w) = nu/(t2 + w),  w = z2/nu
+        e2 = nu / (t2 + z2 / nu) + nu * jnp.log(z2 / (nu * (1.0 + t2)))
+    else:
+        e1 = nu * (t1 - jnp.log(nu / z1 + tmp1))
+        e2 = nu * (t2 + jnp.log(z2 / (nu * (1.0 + t2))))
     t = jnp.where(big, 1.0 / t1, 1.0 / t2)
     expo = jnp.where(big, e1, e2)
 
@@ -161,8 +174,9 @@ def besseli(nu: float, z, mode=None):
     if nu == 0 or nu == 1:
         out = _besseli_01(int(nu), z, code)
         return out.astype(out_dtype)
+    norm = code == 1  # exp-scaled: compute log I - z cancellation-free
     if nu >= 15.0:
-        log_i = _besseli_large_log(float(nu), z)
+        log_i = _besseli_large_log(float(nu), z, minus_z=norm)
     else:
         thr = 5.0 * math.sqrt(15.0 - nu) * math.sqrt(nu + 15.0) / 3.0
         m_terms = int(math.ceil(thr * 1.9 + 2.0))
@@ -170,12 +184,14 @@ def besseli(nu: float, z, mode=None):
         z_small = jnp.minimum(z, 2.0 * thr)  # double-where guards
         z_large = jnp.maximum(z, 2.0 * thr)
         log_small = _besseli_series_log(float(nu), jnp.maximum(z_small, 1e-30), m_terms)
-        log_large = _besseli_large_log(float(nu), z_large)
+        if norm:
+            log_small = log_small - z_small
+        log_large = _besseli_large_log(float(nu), z_large, minus_z=norm)
         log_i = jnp.where(small, log_small, log_large)
     if code == 2:
         out = log_i
     elif code == 1:
-        out = jnp.exp(log_i - z)
+        out = jnp.exp(log_i)
     else:
         out = jnp.exp(log_i)
     return out.astype(out_dtype)

@@ -76,6 +76,30 @@ def test_gammainc():
     np.testing.assert_allclose(got, sps.gammaincc(a, x), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("nu", [0, 1, 2.5, 15.0, 30.0])
+def test_besseli_fp32_parity(nu):
+    """fp32 parity gate (BASELINE configs[3]): rel-err <= 1e-5 vs scipy
+    in the numerically meaningful 'norm' (exp-scaled) mode."""
+    z32 = np.concatenate([np.linspace(0.05, 5, 30),
+                          np.linspace(5, 150, 40)]).astype(np.float32)
+    got = np.asarray(S.besseli(nu, jnp.asarray(z32), mode="norm"),
+                     dtype=np.float64)
+    want = sps.ive(nu, z32.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-8)
+
+
+def test_erfinv_gammainc_fp32():
+    x32 = np.linspace(-0.99, 0.99, 81, dtype=np.float32)
+    got = np.asarray(S.erfinv(jnp.asarray(x32)), dtype=np.float64)
+    np.testing.assert_allclose(got, sps.erfinv(x32.astype(np.float64)),
+                               rtol=2e-5, atol=1e-6)
+    a32 = np.full(50, 2.5, dtype=np.float32)
+    x32 = np.linspace(0.01, 20, 50, dtype=np.float32)
+    got = np.asarray(S.gammainc(jnp.asarray(a32), jnp.asarray(x32)))
+    np.testing.assert_allclose(got, sps.gammainc(2.5, x32.astype(np.float64)),
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("fn,args", [
     ("besseli", (0,)),
     ("besseli", (3.5,)),
