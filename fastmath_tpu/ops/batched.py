@@ -127,7 +127,7 @@ def batchmatvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
                 acc = acc + mat[..., i, j] * vec[..., j]
             rows.append(acc)
         return jnp.stack(rows, axis=-1)
-    return jnp.einsum("...ij,...j->...i", mat, vec)
+    return jnp.einsum("...ij,...j->...i", mat, vec, precision="highest")
 
 
 def batchlmdiv(
@@ -148,7 +148,7 @@ def batchlmdiv(
         inv = batchinv(a, regularize=regularize)
         if vector_rhs:
             return batchmatvec(inv, b)
-        return inv @ b
+        return jnp.matmul(inv, b, precision="highest")
     if vector_rhs:
         return jnp.linalg.solve(a, b[..., None])[..., 0]
     return jnp.linalg.solve(a, b)

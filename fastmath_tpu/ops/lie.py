@@ -29,6 +29,7 @@ detects for its divergence warning (reference ``lie.py:80-82``).
 """
 from __future__ import annotations
 
+import functools
 import warnings
 from functools import partial
 from typing import Optional
@@ -60,14 +61,15 @@ def _expm_core(X: jnp.ndarray) -> jnp.ndarray:
     s = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-300) / 0.5))
     s = jnp.clip(s, 0, _SQUARINGS_MAX)
     Y = X * (2.0 ** -s)[..., None, None]
+    mm = functools.partial(jnp.matmul, precision="highest")
     # Horner evaluation of the fixed-order Taylor polynomial
     order = _taylor_order(X.dtype)
     E = eye + Y / order
     for m in range(order - 1, 0, -1):
-        E = eye + (Y @ E) / m
+        E = eye + mm(Y, E) / m
     # per-matrix masked squaring: matrix i squares exactly s_i times
     def body(i, E):
-        return jnp.where((i < s)[..., None, None], E @ E, E)
+        return jnp.where((i < s)[..., None, None], mm(E, E), E)
 
     return jax.lax.fori_loop(0, _SQUARINGS_MAX, body, E)
 
@@ -157,17 +159,28 @@ def expm_derivatives(
     return out[0] if len(out) == 1 else tuple(out)
 
 
+def _inv_small(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse: closed-form adjugate for d <= 4 (far faster on
+    TPU than the LU path and fully fused), LU beyond."""
+    if M.shape[-1] <= 4:
+        from .batched import batchinv
+
+        return batchinv(M)
+    return jnp.linalg.inv(M)
+
+
 def _sqrtm_db(A: jnp.ndarray, iters: int = _DB_ITERS) -> jnp.ndarray:
     """Principal square root by the product-form Denman-Beavers
     iteration (one batched inverse per step)."""
     d = A.shape[-1]
     eye = jnp.eye(d, dtype=A.dtype)
+    mm = functools.partial(jnp.matmul, precision="highest")
     M, Y = A, A
 
     def body(_, carry):
         M, Y = carry
-        Minv = jnp.linalg.inv(M)
-        Y = Y @ (eye + Minv) * 0.5
+        Minv = _inv_small(M)
+        Y = mm(Y, eye + Minv) * 0.5
         M = 0.5 * (eye + 0.5 * (M + Minv))
         return M, Y
 
@@ -208,16 +221,14 @@ def logm(mat):
     A, k = jax.lax.fori_loop(0, _ISS_STEPS_MAX, body, (A, k0))
 
     # log(A) = 2 * atanh(Z) with Z = (A - I)(A + I)^{-1}, ||Z|| small
-    Z = jnp.linalg.solve(
-        jnp.swapaxes(A + eye, -1, -2), jnp.swapaxes(A - eye, -1, -2)
-    )
-    Z = jnp.swapaxes(Z, -1, -2)  # (A - I) @ inv(A + I)
-    Z2 = Z @ Z
+    mm = functools.partial(jnp.matmul, precision="highest")
+    Z = mm(A - eye, _inv_small(A + eye))
+    Z2 = mm(Z, Z)
     order = 21 if jnp.finfo(A.dtype).eps < 1e-10 else 9
     acc = eye / order
     for m in range(order - 2, 0, -2):
-        acc = eye / m + Z2 @ acc
-    L = 2.0 * (Z @ acc)
+        acc = eye / m + mm(Z2, acc)
+    L = 2.0 * mm(Z, acc)
     return L * (2.0**k)[..., None, None]
 
 

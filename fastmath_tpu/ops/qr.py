@@ -104,13 +104,13 @@ def householder(
 
 def _apply_reflector_left(a, u):
     # A <- A - 2 u (u^H A)
-    uh_a = jnp.einsum("...i,...ij->...j", jnp.conjugate(u), a)
+    uh_a = jnp.einsum("...i,...ij->...j", jnp.conjugate(u), a, precision="highest")
     return a - 2.0 * u[..., :, None] * uh_a[..., None, :]
 
 
 def _apply_reflector_right(a, u):
     # A <- A - 2 (A u) u^H
-    a_u = jnp.einsum("...ij,...j->...i", a, u)
+    a_u = jnp.einsum("...ij,...j->...i", a, u, precision="highest")
     return a - 2.0 * a_u[..., :, None] * jnp.conjugate(u)[..., None, :]
 
 
@@ -441,7 +441,7 @@ def _eig_sym_core_bwd(max_sweeps, tol, res, cot):
     # Reference analog: _impl/qr.py:714-735.
     w, u = res
     dw, du = cot
-    ut_du = jnp.einsum("...ji,...jk->...ik", u, du)
+    ut_du = jnp.einsum("...ji,...jk->...ik", u, du, precision="highest")
     diff = w[..., None, :] - w[..., :, None]
     n = w.shape[-1]
     eye = jnp.eye(n, dtype=w.dtype)
@@ -449,7 +449,7 @@ def _eig_sym_core_bwd(max_sweeps, tol, res, cot):
     f = f * (1.0 - eye)
     inner = f * ut_du
     inner = inner + eye * dw[..., :, None]
-    da = jnp.einsum("...ij,...jk,...lk->...il", u, inner, u)
+    da = jnp.einsum("...ij,...jk,...lk->...il", u, inner, u, precision="highest")
     # symmetrize (input is symmetric; gradient lives on the symmetric
     # subspace)
     da = 0.5 * (da + jnp.swapaxes(da, -1, -2))

@@ -244,7 +244,9 @@ def _transform_last(x, family: str, type: int, norm: str):
     n = x.shape[-1]
     if n <= MATMUL_MAX_N:
         m = jnp.asarray(_basis_matrix(family, type, n, norm), dtype=x.dtype)
-        return jnp.einsum("kj,...j->...k", m, x)
+        # full-precision MXU passes: the TPU default (bf16 inputs) costs
+        # ~3 decimal digits on an fp32 transform
+        return jnp.einsum("kj,...j->...k", m, x, precision="highest")
     din, dout = _norm_scales(family, type, n, norm)
     if not np.isscalar(din) or din != 1.0:
         x = x * jnp.asarray(np.broadcast_to(din, (n,)), dtype=x.dtype)

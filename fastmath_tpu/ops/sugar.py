@@ -155,7 +155,7 @@ def matvec(
     """
     mat = jnp.asarray(mat)
     vec = jnp.asarray(vec)
-    return jnp.matmul(mat, vec[..., None])[..., 0]
+    return jnp.matmul(mat, vec[..., None], precision="highest")[..., 0]
 
 
 def solvevec(

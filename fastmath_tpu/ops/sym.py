@@ -153,7 +153,7 @@ def _adjugate_apply(E, vec_parts, n: int):
 def _compact_matvec(mat: jnp.ndarray, vec: jnp.ndarray, n: int) -> jnp.ndarray:
     if n > _UNROLL_MATVEC_MAX:
         full = sym_to_full(mat, n)
-        return jnp.einsum("...ij,...j->...i", full, vec)
+        return jnp.einsum("...ij,...j->...i", full, vec, precision="highest")
     out = []
     for i in range(n):
         acc = mat[..., i] * vec[..., i]
@@ -182,7 +182,7 @@ def sym_matvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
         return mat * vec
     if layout is MatrixLayout.FULL:
         full = mat.reshape(*mat.shape[:-1], n, n)
-        return jnp.einsum("...ij,...j->...i", full, vec)
+        return jnp.einsum("...ij,...j->...i", full, vec, precision="highest")
     return _compact_matvec(mat, vec, n)
 
 
@@ -372,7 +372,7 @@ def sym_matmul(j: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
             f"{compact_size(k)} for K={k}"
         )
     h_full = sym_to_full(h, k)
-    out_full = jnp.einsum("...ki,...kl,...lj->...ij", j, h_full, j)
+    out_full = jnp.einsum("...ki,...kl,...lj->...ij", j, h_full, j, precision="highest")
     return full_to_sym(out_full)
 
 
