@@ -116,6 +116,30 @@ def main():
                            np.linalg.cholesky(a[:4096].astype(np.float64)))
         record(f"batchchol {n}x{n}", MID, "f32", MID, dt, med, p99, "chol/s")
 
+    if backend == "tpu":
+        from fastmath_tpu.kernels import chol_cf, inv_cf
+
+        a = spd_batch(rng, BIG, 3)
+        cf = jax.device_put(jnp.asarray(
+            np.ascontiguousarray(a.reshape(BIG, 9).T)))
+        f = jax.jit(lambda x: inv_cf(x, block=32768))
+        dt = honest_time(f, cf)
+        med, p99 = rel_err(np.asarray(f(cf[:, :8192])).T,
+                           np.linalg.inv(a[:8192].astype(np.float64))
+                           .reshape(-1, 9))
+        record("batchinv 3x3 (pallas, cf)", BIG, "f32", BIG, dt, med, p99,
+               "inv/s")
+        comp = jax.device_put(jnp.asarray(np.ascontiguousarray(
+            np.asarray(full_to_sym(jnp.asarray(a))).T)))
+        f = jax.jit(lambda x: chol_cf(x, block=32768))
+        dt = honest_time(f, comp)
+        lw = np.linalg.cholesky(a[:8192].astype(np.float64))
+        lw_comp = np.asarray(full_to_sym(jnp.asarray(
+            lw + np.swapaxes(lw, -1, -2) - lw * np.eye(3))))
+        med, p99 = rel_err(np.asarray(f(comp[:, :8192])).T, lw_comp)
+        record("batchchol 3x3 (pallas, cf)", BIG, "f32", BIG, dt, med, p99,
+               "chol/s")
+
     # --- eig_sym 4x4 huge batch -------------------------------------------
     a = spd_batch(rng, MID, 4)
     aj = jax.device_put(jnp.asarray(a))
@@ -125,6 +149,20 @@ def main():
     ww = np.sort(np.linalg.eigvalsh(a[:4096].astype(np.float64)), -1)
     med, p99 = rel_err(w, ww)
     record("eig_sym 4x4 (jacobi)", MID, "f32", MID, dt, med, p99, "eig/s")
+    if backend == "tpu":
+        from fastmath_tpu.kernels import eig_sym_cf
+
+        acf = jax.device_put(
+            jnp.asarray(np.ascontiguousarray(
+                np.asarray(full_to_sym(jnp.asarray(spd_batch(rng, BIG, 4)))).T))
+        )
+        fcf = jax.jit(lambda x: eig_sym_cf(x, block=32768))
+        dt = honest_time(fcf, acf, calls=8)
+        wcf = np.sort(np.asarray(fcf(acf[:, :8192])).T, -1)
+        full8k = np.asarray(F.sym_to_full(jnp.asarray(np.asarray(acf[:, :8192]).T)))
+        wwcf = np.sort(np.linalg.eigvalsh(full8k.astype(np.float64)), -1)
+        med, p99 = rel_err(wcf, wwcf)
+        record("eig_sym 4x4 (pallas, cf)", BIG, "f32", BIG, dt, med, p99, "eig/s")
 
     # --- dct (matmul path) -------------------------------------------------
     x = rng.standard_normal((MID, 64)).astype(np.float32)

@@ -5,5 +5,17 @@ from .sym_pallas import (
     sym_invert_cf,
     DEFAULT_BLOCK,
 )
+from .eig_pallas import eig_sym_cf
+from .batched_pallas import chol_cf, det_cf, inv_cf, matvec_full_cf
 
-__all__ = ["sym_solve_cf", "sym_matvec_cf", "sym_invert_cf", "DEFAULT_BLOCK"]
+__all__ = [
+    "sym_solve_cf",
+    "sym_matvec_cf",
+    "sym_invert_cf",
+    "eig_sym_cf",
+    "det_cf",
+    "inv_cf",
+    "chol_cf",
+    "matvec_full_cf",
+    "DEFAULT_BLOCK",
+]

@@ -49,18 +49,22 @@ def _interpret_default() -> bool:
 
 
 def _pad_to_block(arrs, block, diag_rows=0):
-    """Pad the lane axis up to a block multiple. The first ``diag_rows``
-    rows of the first array (a compact matrix's diagonal) pad with 1.0
-    so padded lanes hold the identity — keeps the padded region's solve
-    finite (no spurious NaNs under debug_nans)."""
+    """Pad the lane axis up to a block multiple. ``diag_rows`` selects
+    rows of the first array that hold the matrix diagonal — an int
+    means the first k rows (compact-symmetric layout), a tuple lists
+    explicit row indices (row-major full layout). Those rows pad with
+    1.0 so padded lanes hold the identity — keeps the padded region's
+    solve/inverse/cholesky finite (no spurious NaNs under debug_nans)."""
     b = arrs[0].shape[-1]
     pad = (-b) % block
     if pad:
+        if isinstance(diag_rows, int):
+            diag_rows = tuple(range(diag_rows))
         padded = []
         for idx, a in enumerate(arrs):
             p = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
             if idx == 0 and diag_rows:
-                p = p.at[:diag_rows, b:].set(1.0)
+                p = p.at[jnp.asarray(diag_rows), b:].set(1.0)
             padded.append(p)
         arrs = padded
     return arrs, b

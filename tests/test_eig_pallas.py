@@ -1,0 +1,44 @@
+"""Tests for the lane-packed Pallas Jacobi eigensolver (interpret mode)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fastmath_tpu.kernels.eig_pallas import eig_sym_cf
+from fastmath_tpu.layouts import full_to_sym
+
+
+def randsym_cf(rng, b, n):
+    a = rng.standard_normal((b, n, n))
+    a = a + np.swapaxes(a, -1, -2)
+    compact = np.asarray(full_to_sym(jnp.asarray(a)))
+    return a, np.ascontiguousarray(compact.T)
+
+
+@pytest.mark.parametrize("n", [2, 3, 4, 6, 8])
+def test_eig_values(n, rng):
+    full, cf = randsym_cf(rng, 300, n)
+    w = np.asarray(eig_sym_cf(jnp.asarray(cf), block=256, sweeps=10)).T
+    want = np.sort(np.linalg.eigvalsh(full), -1)
+    np.testing.assert_allclose(np.sort(w, -1), want, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_eig_vectors(n, rng):
+    full, cf = randsym_cf(rng, 100, n)
+    w, u = eig_sym_cf(jnp.asarray(cf), compute_u=True, block=256, sweeps=10)
+    w = np.asarray(w).T  # (B, n)
+    u = np.asarray(u).T.reshape(-1, n, n)  # (B, n, n), u[b, i, j]
+    recon = np.einsum("...ij,...j,...kj->...ik", u, w, u)
+    np.testing.assert_allclose(recon, full, rtol=1e-8, atol=1e-8)
+    gram = np.einsum("...ji,...jk->...ik", u, u)
+    np.testing.assert_allclose(gram, np.broadcast_to(np.eye(n), gram.shape),
+                               atol=1e-9)
+
+
+def test_matches_xla_eig(rng):
+    from fastmath_tpu.ops.qr import eig_sym
+
+    full, cf = randsym_cf(rng, 50, 4)
+    w_pallas = np.sort(np.asarray(eig_sym_cf(jnp.asarray(cf), block=128)).T, -1)
+    w_xla = np.sort(np.asarray(eig_sym(jnp.asarray(full))), -1)
+    np.testing.assert_allclose(w_pallas, w_xla, rtol=1e-9, atol=1e-10)
