@@ -3,6 +3,10 @@ from .sym_pallas import (
     sym_solve_cf,
     sym_matvec_cf,
     sym_invert_cf,
+    sym_addmatvec_cf,
+    sym_submatvec_cf,
+    sym_outer_cf,
+    sym_det_cf,
     DEFAULT_BLOCK,
 )
 from .eig_pallas import eig_sym_cf
@@ -12,6 +16,10 @@ __all__ = [
     "sym_solve_cf",
     "sym_matvec_cf",
     "sym_invert_cf",
+    "sym_addmatvec_cf",
+    "sym_submatvec_cf",
+    "sym_outer_cf",
+    "sym_det_cf",
     "eig_sym_cf",
     "det_cf",
     "inv_cf",

@@ -38,6 +38,10 @@ __all__ = [
     "sym_solve_cf",
     "sym_matvec_cf",
     "sym_invert_cf",
+    "sym_addmatvec_cf",
+    "sym_submatvec_cf",
+    "sym_outer_cf",
+    "sym_det_cf",
     "DEFAULT_BLOCK",
 ]
 
@@ -385,3 +389,230 @@ def sym_invert_cf(
     m2 = mat.reshape(nn, -1)
     out = _invert_cf(m2, block, bool(interpret))
     return out.reshape(nn, *batch_shape)
+
+
+# --- fused accumulate matvec (jitfields sym_addmatvec / sym_submatvec) ------
+
+
+def _accmatvec_kernel(n, sign, acc_ref, mat_ref, vec_ref, out_ref):
+    v = [vec_ref[j] for j in range(n)]
+    for i in range(n):
+        mv = mat_ref[i] * v[i]
+        for j in range(n):
+            if j != i:
+                mv = mv + mat_ref[tri_index(i, j, n)] * v[j]
+        out_ref[i] = acc_ref[i] + sign * mv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _accmatvec_cf(acc, mat, vec, sign, block, interpret):
+    n = vec.shape[0]
+    kern = functools.partial(_accmatvec_kernel, n, sign)
+    return _call_rows(kern, (acc, mat, vec), n, block, interpret)
+
+
+def _accmatvec_cf_fwd(acc, mat, vec, sign, block, interpret):
+    return _accmatvec_cf(acc, mat, vec, sign, block, interpret), (mat, vec)
+
+
+def _accmatvec_cf_bwd(sign, block, interpret, res, g):
+    # y = acc +/- A v: dacc = g, dv = +/- A g, dA compact as in matvec
+    mat, vec = res
+    n = vec.shape[0]
+    dv = _matvec_cf(mat, g, block, interpret)
+    if sign < 0:
+        dv = -dv
+    rows = [sign * g[i] * vec[i] for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            rows.append(sign * (g[i] * vec[j] + g[j] * vec[i]))
+    return g, jnp.stack(rows, axis=0), dv
+
+
+_accmatvec_cf.defvjp(_accmatvec_cf_fwd, _accmatvec_cf_bwd)
+
+
+def _accmatvec_public(acc, mat, vec, sign, block, interpret, name):
+    acc = jnp.asarray(acc)
+    mat = jnp.asarray(mat)
+    vec = jnp.asarray(vec)
+    n = vec.shape[0]
+    if mat.shape[0] != compact_size(n):
+        raise ValueError(
+            f"channel-first {name} expects mat ({compact_size(n)}, ...) "
+            f"for vec ({n}, ...); got {mat.shape[0]}"
+        )
+    if interpret is None:
+        interpret = _interpret_default()
+    batch_shape = np.broadcast_shapes(acc.shape[1:], mat.shape[1:],
+                                      vec.shape[1:])
+    dtype = jnp.result_type(acc, mat, vec)
+    acc = jnp.broadcast_to(acc.astype(dtype), (n, *batch_shape))
+    mat = jnp.broadcast_to(mat.astype(dtype), (mat.shape[0], *batch_shape))
+    vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
+    out = _accmatvec_cf(acc.reshape(n, -1), mat.reshape(mat.shape[0], -1),
+                        vec.reshape(n, -1), sign, block, bool(interpret))
+    return out.reshape(n, *batch_shape)
+
+
+def sym_addmatvec_cf(
+    acc: jnp.ndarray,
+    mat: jnp.ndarray,
+    vec: jnp.ndarray,
+    block: int = DEFAULT_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Channel-first fused ``acc + A @ v`` (Pallas; one memory pass).
+
+    Native-tier analog of jitfields ``sym_addmatvec`` (reference
+    ``sym.py:28-37``).
+    """
+    return _accmatvec_public(acc, mat, vec, 1.0, block, interpret,
+                             "sym_addmatvec")
+
+
+def sym_submatvec_cf(
+    acc: jnp.ndarray,
+    mat: jnp.ndarray,
+    vec: jnp.ndarray,
+    block: int = DEFAULT_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Channel-first fused ``acc - A @ v`` (Pallas; one memory pass).
+
+    Native-tier analog of jitfields ``sym_submatvec``.
+    """
+    return _accmatvec_public(acc, mat, vec, -1.0, block, interpret,
+                             "sym_submatvec")
+
+
+# --- compact outer product --------------------------------------------------
+
+
+def _outer_kernel(n, x_ref, out_ref):
+    x = [x_ref[i] for i in range(n)]
+    for i in range(n):
+        out_ref[i] = x[i] * x[i]
+    for i in range(n):
+        for j in range(i + 1, n):
+            out_ref[tri_index(i, j, n)] = x[i] * x[j]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _outer_cf(x, block, interpret):
+    n = x.shape[0]
+    kern = functools.partial(_outer_kernel, n)
+    return _call_rows(kern, (x,), compact_size(n), block, interpret)
+
+
+def _outer_cf_fwd(x, block, interpret):
+    return _outer_cf(x, block, interpret), x
+
+
+def _outer_cf_bwd(block, interpret, x, g):
+    # y_ii = x_i^2, y_ij = x_i x_j:
+    # dx_i = 2 g_i x_i + sum_{j != i} g_{tri(i,j)} x_j
+    n = x.shape[0]
+    rows = []
+    for i in range(n):
+        acc = 2.0 * g[i] * x[i]
+        for j in range(n):
+            if j != i:
+                acc = acc + g[tri_index(i, j, n)] * x[j]
+        rows.append(acc)
+    return (jnp.stack(rows, axis=0),)
+
+
+_outer_cf.defvjp(_outer_cf_fwd, _outer_cf_bwd)
+
+
+def sym_outer_cf(
+    x: jnp.ndarray,
+    block: int = DEFAULT_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Channel-first compact outer product ``x x^T``:
+    ``(N, ...) -> (NN, ...)`` (Pallas).
+
+    Native-tier analog of :func:`fastmath_tpu.ops.sym.sym_outer`
+    (reference ``_impl/sym.py:496-528``).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    if interpret is None:
+        interpret = _interpret_default()
+    batch_shape = x.shape[1:]
+    out = _outer_cf(x.reshape(n, -1), block, bool(interpret))
+    return out.reshape(compact_size(n), *batch_shape)
+
+
+# --- compact determinant ----------------------------------------------------
+
+
+def _det_sym_kernel(n, mat_ref, out_ref):
+    from ..ops.sym import _det_expand
+
+    E = _entries_rows(mat_ref, n)
+    idx = tuple(range(n))
+    out_ref[0] = _det_expand(E, idx, idx, {})
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _det_sym_cf(mat, block, interpret):
+    n = sym_dim(mat.shape[0])
+    kern = functools.partial(_det_sym_kernel, n)
+    return _call_rows(kern, (mat,), 1, block, interpret, diag_rows=n)[0]
+
+
+def _det_sym_cf_fwd(mat, block, interpret):
+    return _det_sym_cf(mat, block, interpret), mat
+
+
+def _det_sym_cf_bwd(block, interpret, mat, g):
+    # d det / d compact: diag slot i -> cof(i, i); offdiag slot (i, j)
+    # -> 2 cof(i, j) (the entry appears at (i, j) and (j, i)).
+    from ..ops.sym import _det_expand
+
+    n = sym_dim(mat.shape[0])
+    E = _entries_rows(mat, n)
+    idx = tuple(range(n))
+    cache = {}
+    _det_expand(E, idx, idx, cache)  # warm shared minors
+
+    def cof(i, j):
+        rows = tuple(r for r in idx if r != i)
+        cols = tuple(c for c in idx if c != j)
+        minor = _det_expand(E, rows, cols, cache)
+        return -minor if (i + j) % 2 else minor
+
+    rows = [g * cof(i, i) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            rows.append(2.0 * g * cof(i, j))
+    return (jnp.stack(rows, axis=0),)
+
+
+_det_sym_cf.defvjp(_det_sym_cf_fwd, _det_sym_cf_bwd)
+
+
+def sym_det_cf(
+    mat: jnp.ndarray,
+    block: int = DEFAULT_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Channel-first compact-symmetric determinant ``(NN, ...) -> (...)``
+    (Pallas; N <= 4).
+
+    Native-tier analog of :func:`fastmath_tpu.ops.sym.sym_det`
+    (reference ``_impl/sym.py:401-452``).
+    """
+    mat = jnp.asarray(mat)
+    nn = mat.shape[0]
+    n = sym_dim(nn)
+    if n > 4:
+        raise ValueError("pallas sym_det_cf implements N <= 4")
+    if interpret is None:
+        interpret = _interpret_default()
+    batch_shape = mat.shape[1:]
+    out = _det_sym_cf(mat.reshape(nn, -1), block, bool(interpret))
+    return out.reshape(batch_shape)

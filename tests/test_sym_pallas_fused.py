@@ -1,0 +1,110 @@
+"""Tests for the fused accumulate / outer / det compact-sym Pallas
+kernels (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastmath_tpu.kernels import (
+    sym_addmatvec_cf,
+    sym_submatvec_cf,
+    sym_outer_cf,
+    sym_det_cf,
+)
+from fastmath_tpu.layouts import full_to_sym
+
+
+def spd_cf(rng, b, n):
+    a = rng.standard_normal((b, n, n))
+    spd = np.einsum("...ij,...kj->...ik", a, a) + n * np.eye(n)
+    cf = np.ascontiguousarray(np.asarray(full_to_sym(jnp.asarray(spd))).T)
+    return spd, cf
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+@pytest.mark.parametrize("sign", [1, -1])
+def test_accmatvec(n, sign, rng):
+    spd, cf = spd_cf(rng, 260, n)
+    acc = rng.standard_normal((260, n))
+    v = rng.standard_normal((260, n))
+    fn = sym_addmatvec_cf if sign > 0 else sym_submatvec_cf
+    got = np.asarray(
+        fn(jnp.asarray(acc.T.copy()), jnp.asarray(cf),
+           jnp.asarray(v.T.copy()), block=128)
+    ).T
+    want = acc + sign * np.einsum("...ij,...j->...i", spd, v)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [2, 3, 4, 5])
+def test_outer(n, rng):
+    x = rng.standard_normal((300, n))
+    got = np.asarray(sym_outer_cf(jnp.asarray(x.T.copy()), block=128)).T
+    want = np.asarray(full_to_sym(jnp.asarray(
+        np.einsum("...i,...j->...ij", x, x))))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4])
+def test_det(n, rng):
+    spd, cf = spd_cf(rng, 300, n)
+    got = np.asarray(sym_det_cf(jnp.asarray(cf), block=256))
+    np.testing.assert_allclose(got, np.linalg.det(spd), rtol=1e-10)
+
+
+def test_accmatvec_grad(rng):
+    n = 3
+    spd, cf = spd_cf(rng, 130, n)
+    acc = jnp.asarray(rng.standard_normal((n, 130)))
+    v = jnp.asarray(rng.standard_normal((n, 130)))
+    m = jnp.asarray(cf)
+    co = jnp.asarray(rng.standard_normal((n, 130)))
+
+    def ours(acc, m, v):
+        return jnp.sum(co * sym_submatvec_cf(acc, m, v, block=128))
+
+    from fastmath_tpu.layouts import sym_to_full
+
+    def ref(acc, m, v):
+        full = sym_to_full(m.T)
+        mv = jnp.einsum("...ij,...j->...i", full, v.T)
+        return jnp.sum(co * (acc - mv.T.astype(acc.dtype)))
+
+    g = jax.grad(ours, argnums=(0, 1, 2))(acc, m, v)
+    gw = jax.grad(ref, argnums=(0, 1, 2))(acc, m, v)
+    for a, b in zip(g, gw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-11)
+
+
+def test_outer_grad(rng):
+    n = 4
+    x = jnp.asarray(rng.standard_normal((n, 130)))
+    co = jnp.asarray(rng.standard_normal((n * (n + 1) // 2, 130)))
+
+    def ours(x):
+        return jnp.sum(co * sym_outer_cf(x, block=128))
+
+    def ref(x):
+        outer = jnp.einsum("...i,...j->...ij", x.T, x.T)
+        return jnp.sum(co * full_to_sym(outer).T)
+
+    g = jax.grad(ours)(x)
+    gw = jax.grad(ref)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gw),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_det_grad(rng):
+    n = 3
+    spd, cf = spd_cf(rng, 130, n)
+    m = jnp.asarray(cf)
+
+    from fastmath_tpu.layouts import sym_to_full
+
+    g = jax.grad(lambda m: jnp.sum(sym_det_cf(m, block=128)))(m)
+    gw = jax.grad(
+        lambda m: jnp.sum(jnp.linalg.det(sym_to_full(m.T)))
+    )(m)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gw),
+                               rtol=1e-8, atol=1e-10)
