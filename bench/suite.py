@@ -143,12 +143,18 @@ def main():
     # --- eig_sym 4x4 huge batch -------------------------------------------
     a = spd_batch(rng, MID, 4)
     aj = jax.device_put(jnp.asarray(a))
-    f = jax.jit(lambda x: Q.eig_sym(x, check_finite=False))
+    f = jax.jit(lambda x: Q.eig_sym(x, check_finite=False, backend="xla"))
     dt = honest_time(f, aj, calls=4)
     w = np.sort(np.asarray(f(aj[:4096])), -1)
     ww = np.sort(np.linalg.eigvalsh(a[:4096].astype(np.float64)), -1)
     med, p99 = rel_err(w, ww)
-    record("eig_sym 4x4 (jacobi)", MID, "f32", MID, dt, med, p99, "eig/s")
+    record("eig_sym 4x4 (jacobi, xla)", MID, "f32", MID, dt, med, p99, "eig/s")
+    if backend == "tpu":
+        f = jax.jit(lambda x: Q.eig_sym(x, check_finite=False))
+        dt = honest_time(f, aj, calls=8)
+        med, p99 = rel_err(np.sort(np.asarray(f(aj[:4096])), -1), ww)
+        record("eig_sym 4x4 (auto->pallas)", MID, "f32", MID, dt, med, p99,
+               "eig/s")
     if backend == "tpu":
         from fastmath_tpu.kernels import eig_sym_cf
 

@@ -42,3 +42,69 @@ def test_matches_xla_eig(rng):
     w_pallas = np.sort(np.asarray(eig_sym_cf(jnp.asarray(cf), block=128)).T, -1)
     w_xla = np.sort(np.asarray(eig_sym(jnp.asarray(full))), -1)
     np.testing.assert_allclose(w_pallas, w_xla, rtol=1e-9, atol=1e-10)
+
+
+class TestPublicDispatch:
+    """eig_sym(backend=...) routes to the Pallas kernel with the Giles
+    VJP preserved."""
+
+    def test_values_match_xla(self, rng):
+        from fastmath_tpu.ops.qr import eig_sym
+
+        full, _ = randsym_cf(rng, 60, 4)
+        a = jnp.asarray(full)
+        w_p = np.sort(np.asarray(eig_sym(a, backend="pallas")), -1)
+        w_x = np.sort(np.asarray(eig_sym(a, backend="xla")), -1)
+        np.testing.assert_allclose(w_p, w_x, rtol=1e-9, atol=1e-10)
+
+    def test_vectors_reconstruct(self, rng):
+        from fastmath_tpu.ops.qr import eig_sym
+
+        full, _ = randsym_cf(rng, 40, 3)
+        a = jnp.asarray(full)
+        w, u = eig_sym(a, compute_u=True, backend="pallas")
+        recon = np.einsum("...ij,...j,...kj->...ik", np.asarray(u),
+                          np.asarray(w), np.asarray(u))
+        np.testing.assert_allclose(recon, full, rtol=1e-8, atol=1e-8)
+
+    def test_grad_w_matches_xla(self, rng):
+        import jax
+        from fastmath_tpu.ops.qr import eig_sym
+
+        full, _ = randsym_cf(rng, 20, 3)
+        a = jnp.asarray(full)
+
+        def loss(a, backend):
+            return jnp.sum(eig_sym(a, backend=backend) ** 2)
+
+        gp = jax.grad(lambda x: loss(x, "pallas"))(a)
+        gx = jax.grad(lambda x: loss(x, "xla"))(a)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-7, atol=1e-9)
+
+    def test_grad_wu_matches_xla(self, rng):
+        import jax
+        from fastmath_tpu.ops.qr import eig_sym
+
+        full, _ = randsym_cf(rng, 12, 3)
+        a = jnp.asarray(full)
+        co_w = jnp.asarray(rng.standard_normal((12, 3)))
+        co_u = jnp.asarray(rng.standard_normal((12, 3, 3)))
+
+        def loss(a, backend):
+            w, u = eig_sym(a, compute_u=True, backend=backend)
+            return jnp.sum(co_w * w) + jnp.sum(co_u * u)
+
+        gp = jax.grad(lambda x: loss(x, "pallas"))(a)
+        gx = jax.grad(lambda x: loss(x, "xla"))(a)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_backend_validation(self, rng):
+        from fastmath_tpu.ops.qr import eig_sym
+
+        a = jnp.asarray(np.eye(3))
+        with pytest.raises(ValueError):
+            eig_sym(a, backend="nope")
+        with pytest.raises(ValueError):
+            eig_sym(jnp.asarray(np.eye(9)), backend="pallas")  # n > 8
