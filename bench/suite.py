@@ -102,19 +102,21 @@ def main():
     record("sym_solve 4x4 (XLA, ref layout)", BIG, "f32", BIG, dt, med, p99, "solves/s")
 
     # --- batched inv/det/chol 3x3 & 8x8 -----------------------------------
-    for n in (3, 8):
-        a = spd_batch(rng, MID, n)
+    # 3x3 at the full 1M batch: smaller batches are relay-overhead
+    # dominated (~3 ms/call) and understate throughput ~4x.
+    for n, nb in ((3, BIG), (8, MID)):
+        a = spd_batch(rng, nb, n)
         aj = jax.device_put(jnp.asarray(a))
         f = jax.jit(B_.batchinv)
         dt = honest_time(f, aj)
         med, p99 = rel_err(np.asarray(f(aj[:4096])),
                            np.linalg.inv(a[:4096].astype(np.float64)))
-        record(f"batchinv {n}x{n}", MID, "f32", MID, dt, med, p99, "inv/s")
+        record(f"batchinv {n}x{n}", nb, "f32", nb, dt, med, p99, "inv/s")
         f = jax.jit(B_.batchchol)
         dt = honest_time(f, aj)
         med, p99 = rel_err(np.asarray(f(aj[:4096])),
                            np.linalg.cholesky(a[:4096].astype(np.float64)))
-        record(f"batchchol {n}x{n}", MID, "f32", MID, dt, med, p99, "chol/s")
+        record(f"batchchol {n}x{n}", nb, "f32", nb, dt, med, p99, "chol/s")
 
     if backend == "tpu":
         from fastmath_tpu.kernels import chol_cf, inv_cf

@@ -32,6 +32,7 @@ __all__ = [
     "batchdet",
     "batchinv",
     "batchmatvec",
+    "batchmatmul",
     "batchlmdiv",
     "batchrmdiv",
     "batchchol",
@@ -40,6 +41,7 @@ __all__ = [
 
 _CLOSED_FORM_MAX = 4
 _CHOL_UNROLL_MAX = 8
+_MATMUL_UNROLL_MAX = 6
 
 
 def _full_entries(a: jnp.ndarray, n: int):
@@ -128,6 +130,39 @@ def batchmatvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
             rows.append(acc)
         return jnp.stack(rows, axis=-1)
     return jnp.einsum("...ij,...j->...i", mat, vec, precision="highest")
+
+
+def batchmatmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched matmul ``(..., m, k) @ (..., k, n) -> (..., m, n)``,
+    trace-time unrolled into fused elementwise ops when every dim is
+    <= 6.
+
+    The reference *removed* its ``batchmatmul`` as "not reliably faster"
+    on GPU (``batched.py:10-12``); on TPU the unrolled form is ~10x
+    faster than ``dot_general`` for tiny matrices (a 4x4 per-item
+    matmul occupies a 128x128 MXU tile almost entirely with padding,
+    while the unrolled form is pure lane-parallel VPU work — measured
+    2.4e6 -> 2.6e7 expm/s, ``BENCH_MEASURED.md``), so this build
+    resurrects it and routes ``lie.expm``/``logm`` through it.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    m, k = a.shape[-2:]
+    k2, n = b.shape[-2:]
+    if k != k2:
+        raise ValueError(f"matmul shape mismatch: {a.shape} @ {b.shape}")
+    if max(m, k, n) > _MATMUL_UNROLL_MAX:
+        return jnp.matmul(a, b, precision="highest")
+    rows = []
+    for i in range(m):
+        row = []
+        for j in range(n):
+            acc = a[..., i, 0] * b[..., 0, j]
+            for kk in range(1, k):
+                acc = acc + a[..., i, kk] * b[..., kk, j]
+            row.append(acc)
+        rows.append(jnp.stack(row, axis=-1))
+    return jnp.stack(rows, axis=-2)
 
 
 def batchlmdiv(

@@ -61,7 +61,7 @@ def _expm_core(X: jnp.ndarray) -> jnp.ndarray:
     s = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-300) / 0.5))
     s = jnp.clip(s, 0, _SQUARINGS_MAX)
     Y = X * (2.0 ** -s)[..., None, None]
-    mm = functools.partial(jnp.matmul, precision="highest")
+    from .batched import batchmatmul as mm  # unrolled for tiny d (TPU)
     # Horner evaluation of the fixed-order Taylor polynomial
     order = _taylor_order(X.dtype)
     E = eye + Y / order
@@ -174,7 +174,7 @@ def _sqrtm_db(A: jnp.ndarray, iters: int = _DB_ITERS) -> jnp.ndarray:
     iteration (one batched inverse per step)."""
     d = A.shape[-1]
     eye = jnp.eye(d, dtype=A.dtype)
-    mm = functools.partial(jnp.matmul, precision="highest")
+    from .batched import batchmatmul as mm  # unrolled for tiny d (TPU)
     M, Y = A, A
 
     def body(_, carry):
@@ -221,7 +221,7 @@ def logm(mat):
     A, k = jax.lax.fori_loop(0, _ISS_STEPS_MAX, body, (A, k0))
 
     # log(A) = 2 * atanh(Z) with Z = (A - I)(A + I)^{-1}, ||Z|| small
-    mm = functools.partial(jnp.matmul, precision="highest")
+    from .batched import batchmatmul as mm  # unrolled for tiny d (TPU)
     Z = mm(A - eye, _inv_small(A + eye))
     Z2 = mm(Z, Z)
     order = 21 if jnp.finfo(A.dtype).eps < 1e-10 else 9

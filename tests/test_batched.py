@@ -112,3 +112,48 @@ def test_grad_through_closed_forms(rng):
     e = jnp.zeros_like(a0).at[2, 1, 0].set(h)
     fd = (loss(a0 + e) - loss(a0 - e)) / (2 * h)
     np.testing.assert_allclose(np.asarray(g[2, 1, 0]), np.asarray(fd), rtol=1e-5)
+
+
+class TestBatchMatmul:
+    """batchmatmul: resurrected north-star extension (the reference
+    removed it, batched.py:10-12); unrolled tiny-dim path vs einsum."""
+
+    def test_small_matches_numpy(self, rng):
+        import jax.numpy as jnp
+        from fastmath_tpu.ops.batched import batchmatmul
+
+        for m, k, n in [(1, 1, 1), (2, 3, 4), (4, 4, 4), (6, 6, 6), (3, 5, 2)]:
+            a = rng.standard_normal((40, m, k))
+            b = rng.standard_normal((40, k, n))
+            got = np.asarray(batchmatmul(jnp.asarray(a), jnp.asarray(b)))
+            np.testing.assert_allclose(got, a @ b, rtol=1e-12, atol=1e-12)
+
+    def test_large_path(self, rng):
+        import jax.numpy as jnp
+        from fastmath_tpu.ops.batched import batchmatmul
+
+        a = rng.standard_normal((7, 9, 11))
+        b = rng.standard_normal((7, 11, 8))
+        got = np.asarray(batchmatmul(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, a @ b, rtol=1e-10)
+
+    def test_broadcast_and_grad(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from fastmath_tpu.ops.batched import batchmatmul
+
+        a = jnp.asarray(rng.standard_normal((3, 3)))
+        b = jnp.asarray(rng.standard_normal((5, 3, 3)))
+        got = np.asarray(batchmatmul(a, b))
+        np.testing.assert_allclose(got, np.asarray(a) @ np.asarray(b),
+                                   rtol=1e-12)
+        g = jax.grad(lambda x: jnp.sum(batchmatmul(x, b) ** 2))(a)
+        gw = jax.grad(lambda x: jnp.sum((x @ b) ** 2))(a)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gw), rtol=1e-10)
+
+    def test_mismatch_raises(self):
+        import jax.numpy as jnp
+        from fastmath_tpu.ops.batched import batchmatmul
+
+        with pytest.raises(ValueError):
+            batchmatmul(jnp.zeros((2, 3)), jnp.zeros((4, 2)))
