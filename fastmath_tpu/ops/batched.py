@@ -42,6 +42,73 @@ __all__ = [
 _CLOSED_FORM_MAX = 4
 _CHOL_UNROLL_MAX = 8
 _MATMUL_UNROLL_MAX = 6
+_LU_UNROLL_MAX = 8
+
+
+def _plu_unrolled(a: jnp.ndarray):
+    """Trace-time unrolled batched LU with partial pivoting.
+
+    Returns ``(lu, perm, parity)``: ``lu`` packs unit-lower L below the
+    diagonal and U on/above it, ``perm (..., n)`` is the row
+    permutation (``P A = L U`` with ``(P A)[i] = A[perm[i]]``), and
+    ``parity (...)`` is the permutation sign. All control flow is
+    static; the per-step row swap is the elementwise identity
+    ``A += (e_k - o_p) (x) (row_p - row_k)`` with one-hot ``o_p`` of the
+    dynamic pivot index — no scatters, so the whole factorization fuses
+    into lane-parallel VPU work (XLA's blocked LU is ~50x slower for
+    tiny n, BENCH_MEASURED.md).
+    """
+    n = a.shape[-1]
+    batch = a.shape[:-2]
+    perm = jnp.broadcast_to(jnp.arange(n), (*batch, n)).astype(jnp.int32)
+    parity = jnp.ones(batch, dtype=a.dtype)
+    rows_idx = jnp.arange(n)
+    for k in range(n):
+        # pivot: argmax |a[k:, k]| (masked below row k)
+        col = jnp.abs(a[..., :, k])
+        col = jnp.where(rows_idx >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)  # (...,)
+        op = (rows_idx == p[..., None]).astype(a.dtype)  # (..., n)
+        ek = (rows_idx == k).astype(a.dtype)
+        row_p = jnp.sum(a * op[..., :, None], axis=-2)
+        row_k = a[..., k, :]
+        a = a + (ek - op)[..., :, None] * (row_p - row_k)[..., None, :]
+        permp = jnp.sum(perm * op.astype(perm.dtype), axis=-1)
+        permk = perm[..., k]
+        perm = perm + ((ek - op) * (permp - permk)[..., None]).astype(perm.dtype)
+        parity = parity * jnp.where(p == k, 1.0, -1.0).astype(a.dtype)
+        if k < n - 1:
+            inv_piv = 1.0 / a[..., k, k]
+            l = a[..., k + 1 :, k] * inv_piv[..., None]
+            a = a.at[..., k + 1 :, k:].add(
+                -l[..., :, None] * a[..., k : k + 1, k:]
+            )
+            a = a.at[..., k + 1 :, k].set(l)
+    return a, perm, parity
+
+
+def _lu_solve_unrolled(lu, perm, b):
+    """Solve ``A x = b`` given the packed unrolled PLU. ``b`` is
+    ``(..., n)`` or ``(..., n, m)``; substitutions are fully unrolled."""
+    vector = b.ndim == lu.ndim - 1
+    if vector:
+        b = b[..., None]
+    n = lu.shape[-1]
+    # apply P: (Pb)[i] = b[perm[i]]
+    y = jnp.take_along_axis(b, perm[..., :, None].astype(jnp.int32),
+                            axis=-2)
+    # forward substitution with unit-lower L
+    ys = [y[..., i, :] for i in range(n)]
+    for i in range(n):
+        for j in range(i):
+            ys[i] = ys[i] - lu[..., i, j][..., None] * ys[j]
+    # back substitution with U
+    for i in range(n - 1, -1, -1):
+        for j in range(i + 1, n):
+            ys[i] = ys[i] - lu[..., i, j][..., None] * ys[j]
+        ys[i] = ys[i] / lu[..., i, i][..., None]
+    x = jnp.stack(ys, axis=-2)
+    return x[..., 0] if vector else x
 
 
 def _full_entries(a: jnp.ndarray, n: int):
@@ -60,15 +127,22 @@ def _range_regularizer(a: jnp.ndarray):
 def batchdet(a: jnp.ndarray) -> jnp.ndarray:
     """Batched determinant ``(..., n, n) -> (...)``.
 
-    Closed form (one fused kernel) for n <= 4; ``jnp.linalg.det``
-    beyond. Reference analog: ``_impl/batched.py:21-64``.
+    Closed form (one fused kernel) for n <= 4, unrolled pivoted LU for
+    n <= 8, ``jnp.linalg.det`` beyond. Reference analog:
+    ``_impl/batched.py:21-64``.
     """
     a = jnp.asarray(a)
     n = a.shape[-1]
     if a.shape[-2] != n:
         raise ValueError("batchdet expects square matrices")
-    if n > _CLOSED_FORM_MAX:
+    if n > _LU_UNROLL_MAX:
         return jnp.linalg.det(a)
+    if n > _CLOSED_FORM_MAX:
+        lu, _, parity = _plu_unrolled(a)
+        det = lu[..., 0, 0]
+        for i in range(1, n):
+            det = det * lu[..., i, i]
+        return det * parity
     E = _full_entries(a, n)
     idx = tuple(range(n))
     return _det_expand(E, idx, idx, {})
@@ -77,8 +151,9 @@ def batchdet(a: jnp.ndarray) -> jnp.ndarray:
 def batchinv(a: jnp.ndarray, regularize: bool = False) -> jnp.ndarray:
     """Batched inverse ``(..., n, n) -> (..., n, n)``.
 
-    Closed form (adjugate / det) for n <= 4; ``jnp.linalg.inv`` beyond.
-    ``regularize=True`` enables the reference's range-scaled ``1e-12``
+    Closed form (adjugate / det) for n <= 4, unrolled pivoted LU for
+    n <= 8 (~50x XLA's blocked path on TPU), ``jnp.linalg.inv`` beyond.
+    ``regularize=True`` (closed-form path only) enables the reference's range-scaled ``1e-12``
     determinant smoothing (``_impl/batched.py:74-77,93-96``); default off.
     Reference analog: ``_impl/batched.py:67-151``.
     """
@@ -86,8 +161,12 @@ def batchinv(a: jnp.ndarray, regularize: bool = False) -> jnp.ndarray:
     n = a.shape[-1]
     if a.shape[-2] != n:
         raise ValueError("batchinv expects square matrices")
-    if n > _CLOSED_FORM_MAX:
+    if n > _LU_UNROLL_MAX:
         return jnp.linalg.inv(a)
+    if n > _CLOSED_FORM_MAX:
+        lu, perm, _ = _plu_unrolled(a)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+        return _lu_solve_unrolled(lu, perm, eye)
     E = _full_entries(a, n)
     idx = tuple(range(n))
     cache = {}
@@ -171,7 +250,8 @@ def batchlmdiv(
     r"""Batched left division ``A \ b`` for small full matrices.
 
     ``b`` may be a vector ``(..., n)`` or a matrix ``(..., n, k)``.
-    Closed-form adjugate solve for n <= 4, ``jnp.linalg.solve`` beyond.
+    Closed-form adjugate solve for n <= 4, unrolled pivoted-LU solve
+    for n <= 8, ``jnp.linalg.solve`` beyond.
     (North-star extension; the reference routes this through
     ``sugar.lmdiv``.)
     """
@@ -183,7 +263,15 @@ def batchlmdiv(
         inv = batchinv(a, regularize=regularize)
         if vector_rhs:
             return batchmatvec(inv, b)
-        return jnp.matmul(inv, b, precision="highest")
+        return batchmatmul(inv, b)
+    if n <= _LU_UNROLL_MAX:
+        nb = b.ndim - (1 if vector_rhs else 2)
+        bshape = np.broadcast_shapes(a.shape[:-2], b.shape[:nb])
+        lu, perm, _ = _plu_unrolled(
+            jnp.broadcast_to(a, bshape + a.shape[-2:])
+        )
+        b = jnp.broadcast_to(b, bshape + b.shape[nb:])
+        return _lu_solve_unrolled(lu, perm, b)
     if vector_rhs:
         return jnp.linalg.solve(a, b[..., None])[..., 0]
     return jnp.linalg.solve(a, b)
@@ -236,11 +324,17 @@ def batchchol(a: jnp.ndarray) -> jnp.ndarray:
 def batchlogdet(a: jnp.ndarray) -> jnp.ndarray:
     """Batched ``log |det A|`` ``(..., n, n) -> (...)``.
 
-    Closed form via the n <= 4 determinant; ``jnp.linalg.slogdet``
-    beyond. (North-star extension, ``BASELINE.json`` configs[2].)
+    Closed form via the n <= 4 determinant, unrolled pivoted LU for
+    n <= 8, ``jnp.linalg.slogdet`` beyond. (North-star extension, ``BASELINE.json`` configs[2].)
     """
     a = jnp.asarray(a)
     n = a.shape[-1]
     if n <= _CLOSED_FORM_MAX:
         return jnp.log(jnp.abs(batchdet(a)))
+    if n <= _LU_UNROLL_MAX:
+        lu, _, _ = _plu_unrolled(a)
+        acc = jnp.log(jnp.abs(lu[..., 0, 0]))
+        for i in range(1, n):
+            acc = acc + jnp.log(jnp.abs(lu[..., i, i]))
+        return acc
     return jnp.linalg.slogdet(a)[1]

@@ -157,3 +157,80 @@ class TestBatchMatmul:
 
         with pytest.raises(ValueError):
             batchmatmul(jnp.zeros((2, 3)), jnp.zeros((4, 2)))
+
+
+class TestUnrolledPLU:
+    """n in (5..8): trace-time unrolled partially-pivoted LU paths."""
+
+    @pytest.mark.parametrize("n", [5, 6, 8])
+    def test_det_inv_logdet(self, n, rng):
+        import jax.numpy as jnp
+        from fastmath_tpu.ops.batched import batchdet, batchinv, batchlogdet
+
+        a = rng.standard_normal((60, n, n)) + n * np.eye(n)
+        aj = jnp.asarray(a)
+        np.testing.assert_allclose(np.asarray(batchdet(aj)),
+                                   np.linalg.det(a), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(batchinv(aj)),
+                                   np.linalg.inv(a), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(batchlogdet(aj)),
+                                   np.linalg.slogdet(a)[1], rtol=1e-9)
+
+    @pytest.mark.parametrize("n", [5, 7])
+    def test_lmdiv(self, n, rng):
+        import jax.numpy as jnp
+        from fastmath_tpu.ops.batched import batchlmdiv
+
+        a = rng.standard_normal((40, n, n)) + n * np.eye(n)
+        bv = rng.standard_normal((40, n))
+        bm = rng.standard_normal((40, n, 3))
+        xv = np.asarray(batchlmdiv(jnp.asarray(a), jnp.asarray(bv)))
+        np.testing.assert_allclose(
+            xv, np.linalg.solve(a, bv[..., None])[..., 0], rtol=1e-8,
+            atol=1e-10)
+        xm = np.asarray(batchlmdiv(jnp.asarray(a), jnp.asarray(bm)))
+        np.testing.assert_allclose(xm, np.linalg.solve(a, bm), rtol=1e-8,
+                                   atol=1e-10)
+
+    def test_pivoting_zero_leading_minor(self, rng):
+        # a[0, 0] = 0 defeats unpivoted LU; partial pivoting must not
+        import jax.numpy as jnp
+        from fastmath_tpu.ops.batched import batchdet, batchinv
+
+        n = 6
+        a = rng.standard_normal((30, n, n))
+        a[:, 0, 0] = 0.0
+        a[:, 1, 1] = 0.0
+        aj = jnp.asarray(a)
+        np.testing.assert_allclose(np.asarray(batchdet(aj)),
+                                   np.linalg.det(a), rtol=1e-7)
+        got = np.asarray(batchinv(aj))
+        np.testing.assert_allclose(
+            np.einsum("...ij,...jk->...ik", a, got),
+            np.broadcast_to(np.eye(n), a.shape), atol=1e-8)
+
+    def test_grad(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from fastmath_tpu.ops.batched import batchlogdet
+
+        n = 5
+        a = rng.standard_normal((20, n, n)) + n * np.eye(n)
+        aj = jnp.asarray(a)
+        g = jax.grad(lambda x: jnp.sum(batchlogdet(x)))(aj)
+        # d logdet / dA = inv(A)^T
+        np.testing.assert_allclose(
+            np.asarray(g), np.swapaxes(np.linalg.inv(a), -1, -2),
+            rtol=1e-7, atol=1e-9)
+
+    def test_broadcast_lmdiv(self, rng):
+        import jax.numpy as jnp
+        from fastmath_tpu.ops.batched import batchlmdiv
+
+        n = 5
+        a = rng.standard_normal((n, n)) + n * np.eye(n)
+        b = rng.standard_normal((7, n, 2))
+        x = np.asarray(batchlmdiv(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(
+            x, np.linalg.solve(np.broadcast_to(a, (7, n, n)), b),
+            rtol=1e-8, atol=1e-10)
