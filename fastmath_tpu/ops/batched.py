@@ -338,3 +338,28 @@ def batchlogdet(a: jnp.ndarray) -> jnp.ndarray:
             acc = acc + jnp.log(jnp.abs(lu[..., i, i]))
         return acc
     return jnp.linalg.slogdet(a)[1]
+
+
+def _chol_solve_unrolled(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """SPD solve via the unrolled Cholesky + fully unrolled triangular
+    substitutions (real dtypes, n <= 8). Used by ``sugar.lmdiv/inv``'s
+    ``chol`` method on the small-matrix fast path."""
+    n = a.shape[-1]
+    vector = b.ndim == a.ndim - 1
+    if vector:
+        b = b[..., None]
+    bshape = np.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+    a = jnp.broadcast_to(a, bshape + a.shape[-2:])
+    b = jnp.broadcast_to(b, bshape + b.shape[-2:])
+    L = batchchol(a)
+    ys = [b[..., i, :] for i in range(n)]
+    for i in range(n):
+        for j in range(i):
+            ys[i] = ys[i] - L[..., i, j][..., None] * ys[j]
+        ys[i] = ys[i] / L[..., i, i][..., None]
+    for i in range(n - 1, -1, -1):
+        for j in range(i + 1, n):
+            ys[i] = ys[i] - L[..., j, i][..., None] * ys[j]
+        ys[i] = ys[i] / L[..., i, i][..., None]
+    x = jnp.stack(ys, axis=-2)
+    return x[..., 0] if vector else x

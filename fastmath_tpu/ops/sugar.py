@@ -58,6 +58,14 @@ def kron2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def _chol_solve(a, b):
     from jax.scipy.linalg import solve_triangular
 
+    if a.shape[-1] <= 8 and not jnp.issubdtype(
+        jnp.result_type(a, b), jnp.complexfloating
+    ):
+        # unrolled cholesky + substitutions: fuses, ~20x XLA's blocked
+        # path for tiny n on TPU (see ops/batched.py)
+        from .batched import _chol_solve_unrolled
+
+        return _chol_solve_unrolled(a, jnp.asarray(b))
     l = jnp.linalg.cholesky(a)
     y = solve_triangular(l, b, lower=True)
     return solve_triangular(jnp.conjugate(jnp.swapaxes(l, -1, -2)), y, lower=False)
@@ -84,6 +92,10 @@ def lmdiv(
         method = "pinv"
     method = method.lower()
     if method.startswith("lu"):
+        if a.shape[-1] <= 8:
+            from .batched import batchlmdiv
+
+            return batchlmdiv(a, b)
         return jnp.linalg.solve(a, b)
     if method.startswith("chol"):
         return _chol_solve(a, b)
@@ -132,6 +144,10 @@ def inv(
         method = "pinv"
     method = method.lower()
     if method.startswith("lu"):
+        if a.shape[-1] <= 8:
+            from .batched import batchinv
+
+            return batchinv(a)
         return jnp.linalg.inv(a)
     if method.startswith("chol"):
         eye = jnp.eye(a.shape[-1], dtype=a.dtype)

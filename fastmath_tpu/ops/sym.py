@@ -256,7 +256,9 @@ def sym_solve(
                 e = np.concatenate([e, np.full(n - e.size, e[-1])])
             full = full + jnp.diag(jnp.asarray(e, dtype=dtype))
         full, v = _broadcast_solve_operands(full, vec)
-        return jnp.linalg.solve(full, v[..., None])[..., 0]
+        from .batched import batchlmdiv
+
+        return batchlmdiv(full, v)
 
     # compact symmetric
     if n <= _CLOSED_FORM_MAX:
@@ -279,7 +281,9 @@ def sym_solve(
             e = np.concatenate([e, np.full(n - e.size, e[-1])])
         full = full + jnp.diag(jnp.asarray(e, dtype=dtype))
     full, v = _broadcast_solve_operands(full, vec)
-    return jnp.linalg.solve(full, v[..., None])[..., 0]
+    from .batched import batchlmdiv
+
+    return batchlmdiv(full, v)
 
 
 def _broadcast_solve_operands(full, vec):
