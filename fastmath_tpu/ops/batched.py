@@ -42,7 +42,14 @@ __all__ = [
 _CLOSED_FORM_MAX = 4
 _CHOL_UNROLL_MAX = 8
 _MATMUL_UNROLL_MAX = 6
-_LU_UNROLL_MAX = 8
+
+#: Largest n routed through the trace-time unrolled pivoted LU.
+#: Raising it keeps winning on TPU (measured v5e, 100k batch f32:
+#: 12x12 unrolled 3.7e6 inv/s vs 3.5e5 XLA; 16x16 2.2e6 vs 2.7e5)
+#: but the one-time jit compile grows to ~1-3 min at n=16, so the
+#: default stays at 8; set ``fastmath_tpu.ops.batched.LU_UNROLL_MAX =
+#: 16`` before tracing to extend the fast tier.
+LU_UNROLL_MAX = 8
 
 
 def _plu_unrolled(a: jnp.ndarray):
@@ -135,7 +142,7 @@ def batchdet(a: jnp.ndarray) -> jnp.ndarray:
     n = a.shape[-1]
     if a.shape[-2] != n:
         raise ValueError("batchdet expects square matrices")
-    if n > _LU_UNROLL_MAX:
+    if n > LU_UNROLL_MAX:
         return jnp.linalg.det(a)
     if n > _CLOSED_FORM_MAX:
         lu, _, parity = _plu_unrolled(a)
@@ -161,7 +168,7 @@ def batchinv(a: jnp.ndarray, regularize: bool = False) -> jnp.ndarray:
     n = a.shape[-1]
     if a.shape[-2] != n:
         raise ValueError("batchinv expects square matrices")
-    if n > _LU_UNROLL_MAX:
+    if n > LU_UNROLL_MAX:
         return jnp.linalg.inv(a)
     if n > _CLOSED_FORM_MAX:
         lu, perm, _ = _plu_unrolled(a)
@@ -264,7 +271,7 @@ def batchlmdiv(
         if vector_rhs:
             return batchmatvec(inv, b)
         return batchmatmul(inv, b)
-    if n <= _LU_UNROLL_MAX:
+    if n <= LU_UNROLL_MAX:
         nb = b.ndim - (1 if vector_rhs else 2)
         bshape = np.broadcast_shapes(a.shape[:-2], b.shape[:nb])
         lu, perm, _ = _plu_unrolled(
@@ -331,7 +338,7 @@ def batchlogdet(a: jnp.ndarray) -> jnp.ndarray:
     n = a.shape[-1]
     if n <= _CLOSED_FORM_MAX:
         return jnp.log(jnp.abs(batchdet(a)))
-    if n <= _LU_UNROLL_MAX:
+    if n <= LU_UNROLL_MAX:
         lu, _, _ = _plu_unrolled(a)
         acc = jnp.log(jnp.abs(lu[..., 0, 0]))
         for i in range(1, n):

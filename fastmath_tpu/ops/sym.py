@@ -359,12 +359,18 @@ def sym_outer(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(parts, axis=-1)
 
 
+_JHJ_UNROLL_MAX = 6
+
+
 def sym_matmul(j: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     """Congruence product ``J.T @ H @ J`` with compact-symmetric ``H``.
 
     ``j``: ``(..., K, D)`` full matrix; ``h``: ``(..., K(K+1)/2)``
-    compact; returns ``(..., D(D+1)/2)`` compact. Uses densify + einsum
-    (MXU-friendly for large K/D; XLA fuses the compacting gather).
+    compact; returns ``(..., D(D+1)/2)`` compact. For K, D <= 6 the
+    double contraction unrolls at trace time straight on the compact
+    slots (a per-item KxD einsum occupies a 128x128 MXU tile almost
+    entirely with padding — same pathology as ``batchmatmul``);
+    densify + einsum beyond (MXU-friendly for large K/D).
     Reference analog: ``_impl/sym.py:637-670`` (jhj kernels).
     """
     j = jnp.asarray(j)
@@ -375,6 +381,32 @@ def sym_matmul(j: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
             f"h last axis {h.shape[-1]} does not match compact size "
             f"{compact_size(k)} for K={k}"
         )
+    d = j.shape[-1]
+    if max(k, d) <= _JHJ_UNROLL_MAX:
+        # out[(i,jj)] = sum_{a,b} J[a,i] H[a,b] J[b,jj], H from compact
+        H = _entries(h, k)
+        J = [[j[..., a, i] for i in range(d)] for a in range(k)]
+        # precompute (H J)[a][jj] = sum_b H[a][b] J[b][jj]
+        HJ = [[None] * d for _ in range(k)]
+        for a in range(k):
+            for jj in range(d):
+                acc = H[a][0] * J[0][jj]
+                for b in range(1, k):
+                    acc = acc + H[a][b] * J[b][jj]
+                HJ[a][jj] = acc
+        parts = []
+        for i in range(d):
+            acc = J[0][i] * HJ[0][i]
+            for a in range(1, k):
+                acc = acc + J[a][i] * HJ[a][i]
+            parts.append(acc)
+        for i in range(d):
+            for jj in range(i + 1, d):
+                acc = J[0][i] * HJ[0][jj]
+                for a in range(1, k):
+                    acc = acc + J[a][i] * HJ[a][jj]
+                parts.append(acc)
+        return jnp.stack(parts, axis=-1)
     h_full = sym_to_full(h, k)
     out_full = jnp.einsum("...ki,...kl,...lj->...ij", j, h_full, j, precision="highest")
     return full_to_sym(out_full)
