@@ -152,11 +152,13 @@ def main():
     med, p99 = rel_err(w, ww)
     record("eig_sym 4x4 (jacobi, xla)", MID, "f32", MID, dt, med, p99, "eig/s")
     if backend == "tpu":
+        abig = jax.device_put(jnp.asarray(spd_batch(rng, BIG, 4)))
         f = jax.jit(lambda x: Q.eig_sym(x, check_finite=False))
-        dt = honest_time(f, aj, calls=8)
+        dt = honest_time(f, abig, calls=8)
         med, p99 = rel_err(np.sort(np.asarray(f(aj[:4096])), -1), ww)
-        record("eig_sym 4x4 (auto->pallas)", MID, "f32", MID, dt, med, p99,
+        record("eig_sym 4x4 (auto->pallas)", BIG, "f32", BIG, dt, med, p99,
                "eig/s")
+        del abig
     if backend == "tpu":
         from fastmath_tpu.kernels import eig_sym_cf
 
@@ -181,6 +183,14 @@ def main():
     med, p99 = rel_err(np.asarray(f(xj[:4096])),
                        sfft.dct(x[:4096].astype(np.float64), norm="ortho"))
     record("dct-II n=64 ortho (MXU)", BIG, "f32", BIG, dt, med, p99, "rows/s")
+    x2 = rng.standard_normal((MID, 2048)).astype(np.float32)
+    x2j = jax.device_put(jnp.asarray(x2))
+    f2 = jax.jit(lambda t: RT.dct(t, norm="ortho"))
+    dt2 = honest_time(f2, x2j)
+    med2, p992 = rel_err(np.asarray(f2(x2j[:1024])),
+                         sfft.dct(x2[:1024].astype(np.float64), norm="ortho"))
+    record("dct-II n=2048 ortho (FFT)", MID, "f32", MID, dt2, med2, p992,
+           "rows/s")
 
     # --- expm / logm SE(3)-ish 4x4 ------------------------------------------
     X = rng.standard_normal((MID, 4, 4)).astype(np.float32) * 0.5

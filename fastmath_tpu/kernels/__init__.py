@@ -11,6 +11,7 @@ from .sym_pallas import (
 )
 from .eig_pallas import eig_sym_cf
 from .batched_pallas import chol_cf, det_cf, inv_cf, matvec_full_cf
+from .expm_pallas import expm_cf
 
 __all__ = [
     "sym_solve_cf",
@@ -25,5 +26,6 @@ __all__ = [
     "inv_cf",
     "chol_cf",
     "matvec_full_cf",
+    "expm_cf",
     "DEFAULT_BLOCK",
 ]

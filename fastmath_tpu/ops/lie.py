@@ -82,7 +82,8 @@ def _reconstruct_log(X, basis):
     return jnp.sum(basis * X[..., None, None], axis=-3)
 
 
-def expm(X, basis=None, max_order: int = 10000, tol: float = 1e-32):
+def expm(X, basis=None, max_order: int = 10000, tol: float = 1e-32,
+         backend: str = "auto"):
     """Matrix exponential (batched, differentiable).
 
     ``X``: log-matrix ``(..., D, D)``, or coefficients ``(..., F)`` when
@@ -90,6 +91,10 @@ def expm(X, basis=None, max_order: int = 10000, tol: float = 1e-32):
     reference ``_impl/expm.py:15-49``). ``max_order``/``tol`` are
     accepted for API compatibility; the scaling-and-squaring core makes
     them unnecessary (accuracy is at working precision by construction).
+
+    ``backend``: ``"auto"`` routes real d <= 4 input to the one-pass
+    Pallas register kernel on TPU (:func:`fastmath_tpu.kernels.expm_cf`);
+    ``"pallas"`` / ``"xla"`` force a path.
     """
     if basis is not None:
         X = _reconstruct_log(X, basis)
@@ -98,6 +103,20 @@ def expm(X, basis=None, max_order: int = 10000, tol: float = 1e-32):
         X.dtype, jnp.complexfloating
     ):
         X = X.astype(jnp.result_type(float))
+    d = X.shape[-1]
+    if backend not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown backend {backend!r}")
+    pallas_ok = d <= 4 and not jnp.issubdtype(X.dtype, jnp.complexfloating)
+    if backend == "pallas" and not pallas_ok:
+        raise ValueError("backend='pallas' requires real input with d <= 4")
+    if backend == "pallas" or (
+        backend == "auto" and pallas_ok and jax.default_backend() == "tpu"
+    ):
+        from ..kernels.expm_pallas import expm_cf
+
+        cf = jnp.moveaxis(X.reshape(*X.shape[:-2], d * d), -1, 0)
+        out = expm_cf(cf)
+        return jnp.moveaxis(out, 0, -1).reshape(X.shape)
     return _expm_core(X)
 
 

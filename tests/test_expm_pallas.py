@@ -1,0 +1,64 @@
+"""Tests for the one-pass Pallas expm kernel (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.linalg as sla
+
+from fastmath_tpu.kernels.expm_pallas import expm_cf
+from fastmath_tpu.ops.lie import expm as expm_public, _expm_core
+
+
+def rand_cf(rng, b, d, scale=0.5):
+    X = rng.standard_normal((b, d, d)) * scale
+    return X, np.ascontiguousarray(X.reshape(b, d * d).T)
+
+
+@pytest.mark.parametrize("d", [1, 2, 3, 4])
+def test_vs_scipy(d, rng):
+    X, cf = rand_cf(rng, 80, d)
+    got = np.asarray(expm_cf(jnp.asarray(cf), block=128)).T.reshape(-1, d, d)
+    want = np.stack([sla.expm(m) for m in X])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_large_norm_squaring(rng):
+    # ||X|| >> 1 exercises deep per-lane squaring depths
+    X, cf = rand_cf(rng, 60, 4, scale=8.0)
+    got = np.asarray(expm_cf(jnp.asarray(cf), block=128)).T.reshape(-1, 4, 4)
+    want = np.stack([sla.expm(m) for m in X])
+    r = np.abs(got - want) / (np.abs(want) + 1e-30)
+    assert np.median(r) < 1e-9
+
+
+def test_matches_xla_core(rng):
+    X, cf = rand_cf(rng, 50, 3)
+    got = np.asarray(expm_cf(jnp.asarray(cf), block=128)).T.reshape(-1, 3, 3)
+    want = np.asarray(_expm_core(jnp.asarray(X)))
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
+
+
+def test_public_dispatch(rng):
+    X, _ = rand_cf(rng, 40, 4)
+    Xj = jnp.asarray(X)
+    wp = np.asarray(expm_public(Xj, backend="pallas"))
+    wx = np.asarray(expm_public(Xj, backend="xla"))
+    np.testing.assert_allclose(wp, wx, rtol=1e-11, atol=1e-13)
+    with pytest.raises(ValueError):
+        expm_public(Xj, backend="nope")
+    with pytest.raises(ValueError):
+        expm_public(jnp.asarray(np.zeros((2, 5, 5))), backend="pallas")
+
+
+def test_grad_mathias_vs_xla(rng):
+    X, _ = rand_cf(rng, 20, 3)
+    Xj = jnp.asarray(X)
+    co = jnp.asarray(rng.standard_normal(X.shape))
+
+    def loss(x, backend):
+        return jnp.sum(co * expm_public(x, backend=backend))
+
+    gp = jax.grad(lambda x: loss(x, "pallas"))(Xj)
+    gx = jax.grad(lambda x: loss(x, "xla"))(Xj)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-8, atol=1e-10)
