@@ -12,6 +12,7 @@ from .sym_pallas import (
 from .eig_pallas import eig_sym_cf
 from .batched_pallas import chol_cf, det_cf, inv_cf, matvec_full_cf
 from .expm_pallas import expm_cf
+from .logm_pallas import logm_cf
 
 __all__ = [
     "sym_solve_cf",
@@ -27,5 +28,6 @@ __all__ = [
     "chol_cf",
     "matvec_full_cf",
     "expm_cf",
+    "logm_cf",
     "DEFAULT_BLOCK",
 ]

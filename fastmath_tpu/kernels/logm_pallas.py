@@ -1,0 +1,177 @@
+"""Pallas TPU kernel: batched matrix logarithm for tiny d.
+
+The XLA inverse-scaling-and-squaring logm (:mod:`fastmath_tpu.ops.lie`)
+is ~100+ fused HBM passes (ISS steps x Denman-Beavers iterations x
+matmuls/inverses), each streaming the whole batch. This kernel keeps
+everything in registers: per-lane masked ISS square-root depth, the
+product-form Denman-Beavers iteration with closed-form adjugate
+inverses, and the Gregory (atanh) series — one HBM read + one write
+per batch. Reference analog: ``_impl/logm.py:102-129`` (which is a
+per-matrix scipy CPU loop).
+
+Layout: channel-first row-major full storage ``(d*d, ...)`` as in
+:mod:`.expm_pallas`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sym import _det_expand
+from .sym_pallas import _call_rows, _interpret_default
+
+__all__ = ["logm_cf"]
+
+_MAX_D = 4
+_ISS_MAX = 10
+_DB_ITERS = 12
+_THRESH = 0.25
+
+
+def _mm_grid(A, B, d):
+    return [
+        [
+            functools.reduce(
+                lambda acc, k: acc + A[i][k] * B[k][j],
+                range(1, d),
+                A[i][0] * B[0][j],
+            )
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+
+
+def _inv_grid(E, d):
+    """Closed-form adjugate inverse of a register grid (d <= 4)."""
+    idx = tuple(range(d))
+    cache = {}
+    det = _det_expand(E, idx, idx, cache)
+    inv_det = 1.0 / det
+    out = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(d):
+            rows = tuple(r for r in idx if r != j)
+            cols = tuple(c for c in idx if c != i)
+            minor = _det_expand(E, rows, cols, cache)
+            cof = -minor if (i + j) % 2 else minor
+            out[i][j] = cof * inv_det
+    return out
+
+
+def _flatten(G, d):
+    return tuple(G[i][j] for i in range(d) for j in range(d))
+
+
+def _unflatten(flat, d):
+    return [[flat[i * d + j] for j in range(d)] for i in range(d)]
+
+
+def _logm_kernel(d, order, mat_ref, out_ref):
+    A = [[mat_ref[i * d + j] for j in range(d)] for i in range(d)]
+    one = jnp.ones_like(A[0][0])
+    zero = jnp.zeros_like(A[0][0])
+    eye = [[one if i == j else zero for j in range(d)] for i in range(d)]
+
+    def dist2(G):
+        acc = None
+        for i in range(d):
+            for j in range(d):
+                dv = G[i][j] - eye[i][j]
+                t = dv * dv
+                acc = t if acc is None else acc + t
+        return acc
+
+    def sqrt_db(G):
+        # product-form Denman-Beavers, fixed iteration count
+        def body(_, carry):
+            M = _unflatten(carry[0], d)
+            Y = _unflatten(carry[1], d)
+            Minv = _inv_grid(M, d)
+            Yn = [
+                [(functools.reduce(
+                    lambda acc, k: acc + Y[i][k] * (eye[k][j] + Minv[k][j]),
+                    range(1, d),
+                    Y[i][0] * (eye[0][j] + Minv[0][j]),
+                )) * 0.5 for j in range(d)]
+                for i in range(d)
+            ]
+            Mn = [
+                [0.5 * (eye[i][j] + 0.5 * (M[i][j] + Minv[i][j]))
+                 for j in range(d)]
+                for i in range(d)
+            ]
+            return _flatten(Mn, d), _flatten(Yn, d)
+
+        carry = jax.lax.fori_loop(
+            0, _DB_ITERS, body, (_flatten(G, d), _flatten(G, d))
+        )
+        return _unflatten(carry[1], d)
+
+    def iss_body(_, carry):
+        Af = _unflatten(carry[0], d)
+        k = carry[1]
+        need = dist2(Af) > _THRESH * _THRESH
+        As = sqrt_db(Af)
+        An = [
+            [jnp.where(need, As[i][j], Af[i][j]) for j in range(d)]
+            for i in range(d)
+        ]
+        return _flatten(An, d), k + need.astype(k.dtype)
+
+    k0 = jnp.zeros_like(A[0][0])
+    flat, k = jax.lax.fori_loop(0, _ISS_MAX, iss_body, (_flatten(A, d), k0))
+    A = _unflatten(flat, d)
+
+    # log(A) = 2 atanh(Z), Z = (A - I)(A + I)^{-1}; Gregory series
+    Ap = [[A[i][j] + eye[i][j] for j in range(d)] for i in range(d)]
+    Am = [[A[i][j] - eye[i][j] for j in range(d)] for i in range(d)]
+    Z = _mm_grid(Am, _inv_grid(Ap, d), d)
+    Z2 = _mm_grid(Z, Z, d)
+    acc = [[eye[i][j] / order for j in range(d)] for i in range(d)]
+    for m in range(order - 2, 0, -2):
+        P = _mm_grid(Z2, acc, d)
+        acc = [[eye[i][j] / m + P[i][j] for j in range(d)] for i in range(d)]
+    L = _mm_grid(Z, acc, d)
+    scale = 2.0 * jnp.exp2(k)
+    for i in range(d):
+        for j in range(d):
+            out_ref[i * d + j] = L[i][j] * scale
+
+
+def logm_cf(
+    mat: jnp.ndarray,
+    block: int = 8192,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Channel-first batched matrix logarithm ``(d*d, ...) ->
+    (d*d, ...)`` (Pallas; row-major channels, real d <= 4).
+
+    One-memory-pass inverse scaling-and-squaring (see module
+    docstring). Forward-only — for gradients use
+    :func:`fastmath_tpu.ops.lie.logm`, whose Mathias VJP wraps this
+    kernel's forward on TPU. Real inputs whose principal log is
+    complex yield NaNs (same divergence contract as ``lie.logm``).
+    """
+    mat = jnp.asarray(mat)
+    d = int(round(np.sqrt(mat.shape[0])))
+    if d * d != mat.shape[0] or d > _MAX_D:
+        raise ValueError(
+            f"logm_cf expects (d*d, ...) rows with d <= {_MAX_D}; "
+            f"got {mat.shape[0]} channels"
+        )
+    if not jnp.issubdtype(mat.dtype, jnp.floating):
+        mat = mat.astype(jnp.result_type(float))
+    if interpret is None:
+        interpret = _interpret_default()
+    order = 21 if jnp.finfo(mat.dtype).eps < 1e-10 else 9
+    batch_shape = mat.shape[1:]
+    m2 = mat.reshape(mat.shape[0], -1)
+    kern = functools.partial(_logm_kernel, d, order)
+    out = _call_rows(kern, (m2,), mat.shape[0], block, bool(interpret),
+                     diag_rows=tuple(i * d + i for i in range(d)))
+    return out.reshape(mat.shape[0], *batch_shape)

@@ -228,6 +228,17 @@ def _logm_impl(mat):
     ):
         A = A.astype(jnp.result_type(float))
     d = A.shape[-1]
+    if (
+        d <= 4
+        and not jnp.issubdtype(A.dtype, jnp.complexfloating)
+        and jax.default_backend() == "tpu"
+    ):
+        # one-memory-pass register kernel (kernels/logm_pallas.py)
+        from ..kernels.logm_pallas import logm_cf
+
+        cf = jnp.moveaxis(A.reshape(*A.shape[:-2], d * d), -1, 0)
+        out = logm_cf(cf)
+        return jnp.moveaxis(out, 0, -1).reshape(A.shape)
     eye = jnp.eye(d, dtype=A.dtype)
     thresh = 0.25
 

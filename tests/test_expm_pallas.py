@@ -62,3 +62,38 @@ def test_grad_mathias_vs_xla(rng):
     gx = jax.grad(lambda x: loss(x, "xla"))(Xj)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-8, atol=1e-10)
+
+
+class TestLogmPallas:
+    """One-pass Pallas logm kernel (interpret mode)."""
+
+    @pytest.mark.parametrize("d", [2, 3, 4])
+    def test_roundtrip(self, d, rng):
+        from fastmath_tpu.kernels.logm_pallas import logm_cf
+
+        X = rng.standard_normal((60, d, d)) * 0.5
+        E = np.stack([sla.expm(m) for m in X])
+        cf = jnp.asarray(np.ascontiguousarray(E.reshape(-1, d * d).T))
+        got = np.asarray(logm_cf(cf, block=128)).T.reshape(-1, d, d)
+        np.testing.assert_allclose(got, X, rtol=1e-8, atol=1e-9)
+
+    def test_vs_scipy(self, rng):
+        from fastmath_tpu.kernels.logm_pallas import logm_cf
+
+        a = rng.standard_normal((40, 4, 4))
+        spd = np.einsum("...ij,...kj->...ik", a, a) + 4 * np.eye(4)
+        cf = jnp.asarray(np.ascontiguousarray(spd.reshape(-1, 16).T))
+        got = np.asarray(logm_cf(cf, block=128)).T.reshape(-1, 4, 4)
+        want = np.stack([np.real(sla.logm(m)) for m in spd])
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
+
+    def test_matches_xla_impl(self, rng):
+        from fastmath_tpu.kernels.logm_pallas import logm_cf
+        from fastmath_tpu.ops.lie import _logm_impl
+
+        X = rng.standard_normal((30, 3, 3)) * 0.4
+        E = np.stack([sla.expm(m) for m in X])
+        cf = jnp.asarray(np.ascontiguousarray(E.reshape(-1, 9).T))
+        got = np.asarray(logm_cf(cf, block=128)).T.reshape(-1, 3, 3)
+        want = np.asarray(_logm_impl(jnp.asarray(E)))
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
