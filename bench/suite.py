@@ -183,14 +183,17 @@ def main():
     med, p99 = rel_err(np.asarray(f(xj[:4096])),
                        sfft.dct(x[:4096].astype(np.float64), norm="ortho"))
     record("dct-II n=64 ortho (MXU)", BIG, "f32", BIG, dt, med, p99, "rows/s")
-    x2 = rng.standard_normal((MID, 2048)).astype(np.float32)
+    del xj, x  # free 2x256 MB before staging the FFT-path operand
+    nfft = 65536
+    x2 = rng.standard_normal((nfft, 2048)).astype(np.float32)
     x2j = jax.device_put(jnp.asarray(x2))
     f2 = jax.jit(lambda t: RT.dct(t, norm="ortho"))
     dt2 = honest_time(f2, x2j)
     med2, p992 = rel_err(np.asarray(f2(x2j[:1024])),
                          sfft.dct(x2[:1024].astype(np.float64), norm="ortho"))
-    record("dct-II n=2048 ortho (FFT)", MID, "f32", MID, dt2, med2, p992,
+    record("dct-II n=2048 ortho (FFT)", nfft, "f32", nfft, dt2, med2, p992,
            "rows/s")
+    del x2j, x2
 
     # --- expm / logm SE(3)-ish 4x4 ------------------------------------------
     X = rng.standard_normal((MID, 4, 4)).astype(np.float32) * 0.5
