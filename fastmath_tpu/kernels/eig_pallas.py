@@ -14,16 +14,15 @@ margin; pass ``sweeps=`` to tune).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..layouts.sym import compact_size, sym_dim, tri_index
-from .sym_pallas import _call_rows, _interpret_default
+from ..layouts.sym import sym_dim, tri_index
+from .sym_pallas import _interpret_default
 
 __all__ = ["eig_sym_cf"]
 

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..layouts.sym import compact_size, sym_dim, tri_index
-from ..ops.sym import _adjugate_apply, _entries
+from ..ops.sym import _adjugate_apply
 
 __all__ = [
     "sym_solve_cf",

@@ -30,14 +30,10 @@ detects for its divergence warning (reference ``lie.py:80-82``).
 """
 from __future__ import annotations
 
-import functools
 import warnings
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .sugar import lmdiv
 

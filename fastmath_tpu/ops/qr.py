@@ -31,7 +31,7 @@ TPU-first redesign notes:
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Tuple, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

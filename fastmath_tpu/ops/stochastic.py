@@ -33,7 +33,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sugar import lmdiv
 
 __all__ = ["trapprox", "vbald", "maxeig_power"]
 

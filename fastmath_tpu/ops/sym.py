@@ -29,10 +29,8 @@ donation + XLA fusion subsume in-place semantics.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
