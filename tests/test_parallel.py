@@ -96,3 +96,30 @@ def test_gspmd_auto_sharding(rng):
     # output stays distributed: each device holds a 1/8 shard
     shard_rows = {s.data.shape[0] for s in out.addressable_shards}
     assert shard_rows == {64 // 8}
+
+
+def test_shard_batch_pallas_kernel(rng):
+    """shard_batch composes with the channel-first Pallas kernels: the
+    lane (batch) axis shards across the mesh and each device runs the
+    kernel (interpret mode on CPU) on its shard — zero collectives."""
+    import jax
+    import jax.numpy as jnp
+    from fastmath_tpu import parallel as PAR
+    from fastmath_tpu.kernels import sym_solve_cf
+    from fastmath_tpu.layouts import full_to_sym
+
+    mesh = PAR.make_mesh(len(jax.devices()))
+    b = 128 * len(jax.devices())
+    a = rng.standard_normal((b, 4, 4))
+    spd = np.einsum("...ij,...kj->...ik", a, a) + 4 * np.eye(4)
+    cf = jnp.asarray(np.ascontiguousarray(
+        np.asarray(full_to_sym(jnp.asarray(spd))).T))
+    v = jnp.asarray(rng.standard_normal((4, b)))
+
+    fn = PAR.shard_batch(
+        lambda m, x: sym_solve_cf(m, x, block=128),
+        mesh, batch_axes=-1, out_batch_axes=-1,
+    )
+    got = np.asarray(fn(cf, v)).T
+    want = np.linalg.solve(spd, np.asarray(v).T[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
