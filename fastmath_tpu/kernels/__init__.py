@@ -7,6 +7,7 @@ from .sym_pallas import (
     sym_submatvec_cf,
     sym_outer_cf,
     sym_det_cf,
+    sym_matmul_cf,
     DEFAULT_BLOCK,
 )
 from .eig_pallas import eig_sym_cf
@@ -22,6 +23,7 @@ __all__ = [
     "sym_submatvec_cf",
     "sym_outer_cf",
     "sym_det_cf",
+    "sym_matmul_cf",
     "eig_sym_cf",
     "det_cf",
     "inv_cf",

@@ -616,3 +616,129 @@ def sym_det_cf(
     batch_shape = mat.shape[1:]
     out = _det_sym_cf(mat.reshape(nn, -1), block, bool(interpret))
     return out.reshape(batch_shape)
+
+
+# --- congruence product J^T H J (jhj) ---------------------------------------
+
+
+def _jhj_kernel(k, d, j_ref, h_ref, out_ref):
+    H = _entries_rows(h_ref, k)
+    J = [[j_ref[a * d + i] for i in range(d)] for a in range(k)]
+    HJ = [[None] * d for _ in range(k)]
+    for a in range(k):
+        for jj in range(d):
+            acc = H[a][0] * J[0][jj]
+            for b in range(1, k):
+                acc = acc + H[a][b] * J[b][jj]
+            HJ[a][jj] = acc
+    for i in range(d):
+        acc = J[0][i] * HJ[0][i]
+        for a in range(1, k):
+            acc = acc + J[a][i] * HJ[a][i]
+        out_ref[i] = acc
+    for i in range(d):
+        for jj in range(i + 1, d):
+            acc = J[0][i] * HJ[0][jj]
+            for a in range(1, k):
+                acc = acc + J[a][i] * HJ[a][jj]
+            out_ref[tri_index(i, jj, d)] = acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _jhj_cf(j2, h2, d, block, interpret):
+    k = sym_dim(h2.shape[0])
+    kern = functools.partial(_jhj_kernel, k, d)
+    return _call_rows(kern, (j2, h2), compact_size(d), block, interpret)
+
+
+def _jhj_cf_fwd(j2, h2, d, block, interpret):
+    return _jhj_cf(j2, h2, d, block, interpret), (j2, h2)
+
+
+def _jhj_cf_bwd(d, block, interpret, res, g):
+    # out[(i,jj)] = sum_ab J[a,i] H[a,b] J[b,jj]  (H symmetric).
+    # With Gf the symmetric expansion of the compact cotangent
+    # (Gf[i][i] = g_i, Gf[i][j] = g_(i,j) for i != j):
+    #   Hbar[a][b](compact) folds J Gf J^T;  Jbar = 2 H J Gf.
+    j2, h2 = res
+    k = sym_dim(h2.shape[0])
+    J = [[j2[a * d + i] for i in range(d)] for a in range(k)]
+    H = _entries_rows(h2, k)
+    # symmetric expansion of the compact cotangent with off-diagonal
+    # entries HALVED (each compact off-diag slot is a single stored
+    # value; the factor 2 reappears in the fold-back below)
+    Gf = [
+        [
+            g[tri_index(i, jj, d)] if i == jj
+            else 0.5 * g[tri_index(i, jj, d)]
+            for jj in range(d)
+        ]
+        for i in range(d)
+    ]
+
+    def jgf(a, i):  # (J Gf)[a][i]
+        acc = J[a][0] * Gf[0][i]
+        for m in range(1, d):
+            acc = acc + J[a][m] * Gf[m][i]
+        return acc
+
+    JG = [[jgf(a, i) for i in range(d)] for a in range(k)]
+    # Hbar_full[a][b] = sum_i J[a,i] (J Gf^T)[b,i] = (J Gf J^T)[a][b]
+    def hbar_full(a, b):
+        acc = JG[b][0] * J[a][0]
+        for i in range(1, d):
+            acc = acc + JG[b][i] * J[a][i]
+        return acc
+
+    hrows = [hbar_full(i, i) for i in range(k)]
+    for a in range(k):
+        for b in range(a + 1, k):
+            hrows.append(hbar_full(a, b) + hbar_full(b, a))
+    dh = jnp.stack(hrows, axis=0)
+    # Jbar[a][i] = 2 sum_b H[a][b] (J Gf)[b][i]   (Gf symmetric)
+    jrows = []
+    for a in range(k):
+        for i in range(d):
+            acc = H[a][0] * JG[0][i]
+            for b in range(1, k):
+                acc = acc + H[a][b] * JG[b][i]
+            jrows.append(2.0 * acc)
+    return jnp.stack(jrows, axis=0), dh
+
+
+_jhj_cf.defvjp(_jhj_cf_fwd, _jhj_cf_bwd)
+
+
+def sym_matmul_cf(
+    j: jnp.ndarray,
+    h: jnp.ndarray,
+    block: int = DEFAULT_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Channel-first congruence product ``J^T H J``:
+    ``j (K*D, ...)`` row-major full, ``h (K(K+1)/2, ...)`` compact ->
+    ``(D(D+1)/2, ...)`` compact (Pallas; K, D <= 4).
+
+    Native-tier analog of :func:`fastmath_tpu.ops.sym.sym_matmul`
+    (reference jhj kernels, ``_impl/sym.py:637-670``), with a
+    hand-derived compact-cotangent VJP.
+    """
+    j = jnp.asarray(j)
+    h = jnp.asarray(h)
+    k = sym_dim(h.shape[0])
+    if j.shape[0] % k:
+        raise ValueError(
+            f"j channel count {j.shape[0]} is not a multiple of K={k}"
+        )
+    d = j.shape[0] // k
+    if k > 4 or d > 4:
+        raise ValueError("pallas sym_matmul_cf implements K, D <= 4")
+    if interpret is None:
+        interpret = _interpret_default()
+    batch_shape = np.broadcast_shapes(j.shape[1:], h.shape[1:])
+    dtype = jnp.result_type(j, h)
+    j = jnp.broadcast_to(j.astype(dtype), (j.shape[0], *batch_shape))
+    h = jnp.broadcast_to(h.astype(dtype), (h.shape[0], *batch_shape))
+    out = _jhj_cf(j.reshape(j.shape[0], -1), h.reshape(h.shape[0], -1),
+                  d, block, bool(interpret))
+    return out.reshape(compact_size(d), *batch_shape)

@@ -108,3 +108,46 @@ def test_det_grad(rng):
     )(m)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gw),
                                rtol=1e-8, atol=1e-10)
+
+
+class TestJhJ:
+    """sym_matmul_cf: channel-first congruence product + compact VJP."""
+
+    @pytest.mark.parametrize("k,d", [(2, 2), (3, 3), (4, 4), (4, 2), (2, 4)])
+    def test_forward(self, k, d, rng):
+        from fastmath_tpu.kernels import sym_matmul_cf
+        from fastmath_tpu.ops.sym import sym_matmul
+
+        J = rng.standard_normal((200, k, d))
+        Hc = rng.standard_normal((200, k * (k + 1) // 2))
+        jcf = jnp.asarray(np.ascontiguousarray(J.reshape(200, -1).T))
+        hcf = jnp.asarray(np.ascontiguousarray(Hc.T))
+        got = np.asarray(sym_matmul_cf(jcf, hcf, block=128)).T
+        want = np.asarray(sym_matmul(jnp.asarray(J), jnp.asarray(Hc)))
+        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
+
+    def test_grad_vs_xla(self, rng):
+        import jax
+        from fastmath_tpu.kernels import sym_matmul_cf
+        from fastmath_tpu.ops.sym import sym_matmul
+
+        k = d = 3
+        J = rng.standard_normal((60, k, d))
+        Hc = rng.standard_normal((60, k * (k + 1) // 2))
+        jcf = jnp.asarray(np.ascontiguousarray(J.reshape(60, -1).T))
+        hcf = jnp.asarray(np.ascontiguousarray(Hc.T))
+        co = jnp.asarray(rng.standard_normal((d * (d + 1) // 2, 60)))
+
+        def ours(jc, hc):
+            return jnp.sum(co * sym_matmul_cf(jc, hc, block=128))
+
+        def ref(jc, hc):
+            Jb = jc.T.reshape(-1, k, d)
+            out = sym_matmul(Jb, hc.T)
+            return jnp.sum(co * out.T)
+
+        g = jax.grad(ours, argnums=(0, 1))(jcf, hcf)
+        gw = jax.grad(ref, argnums=(0, 1))(jcf, hcf)
+        for a, b in zip(g, gw):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-11)
