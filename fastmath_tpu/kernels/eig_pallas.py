@@ -94,13 +94,39 @@ def _eig_kernel(n, sweeps, compute_u, mat_ref, *out_refs):
     def unflatten(flat):
         return [[flat[i * n + j] for j in range(n)] for i in range(n)]
 
-    def body(_, carry):
+    def off2(grid):
+        acc = None
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    t = grid[i][j] * grid[i][j]
+                    acc = t if acc is None else acc + t
+        return acc
+
+    # relative convergence threshold: the Frobenius norm is invariant
+    # under the rotations, so compute it once and exit the sweep loop
+    # as soon as the whole block's off-diagonal mass is at round-off
+    # (`sweeps` remains the worst-case cap)
+    fro2 = None
+    for i in range(n):
+        for j in range(n):
+            t = E[i][j] * E[i][j]
+            fro2 = t if fro2 is None else fro2 + t
+    eps = float(jnp.finfo(E[0][0].dtype).eps)
+    off_tol = jnp.max(fro2) * (16.0 * eps * eps)
+
+    def cond(carry):
+        e = unflatten(carry[0])
+        return (carry[2] < sweeps) & (jnp.max(off2(e)) > off_tol)
+
+    def body(carry):
         e, v = unflatten(carry[0]), (unflatten(carry[1]) if compute_u else None)
         e, v = _jacobi_sweep_registers(e, v, n)
-        return flatten(e), (flatten(v) if compute_u else ())
+        return flatten(e), (flatten(v) if compute_u else ()), carry[2] + 1
 
-    carry = jax.lax.fori_loop(
-        0, sweeps, body, (flatten(E), flatten(V) if compute_u else ())
+    carry = jax.lax.while_loop(
+        cond, body,
+        (flatten(E), flatten(V) if compute_u else (), jnp.asarray(0)),
     )
     E = unflatten(carry[0])
     V = unflatten(carry[1]) if compute_u else None
