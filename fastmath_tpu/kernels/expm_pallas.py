@@ -70,24 +70,32 @@ def _expm_kernel(d, order, mat_ref, out_ref):
         P = _mm_grid(Y, R, d)
         R = [[eye[i][j] + P[i][j] / m for j in range(d)] for i in range(d)]
 
-    # per-lane masked squaring, rolled into a fori_loop (see eig_pallas)
+    # per-lane masked squaring; the loop exits at the block's max
+    # squaring depth (typically 3-5 for unit-scale inputs) instead of
+    # always paying the _SQUARINGS_MAX cap
     def flatten(G):
         return tuple(G[i][j] for i in range(d) for j in range(d))
 
     def unflatten(flat):
         return [[flat[i * d + j] for j in range(d)] for i in range(d)]
 
-    def body(it, flat):
-        G = unflatten(flat)
+    s_max = jnp.max(s)
+
+    def cond(carry):
+        return carry[1] < s_max
+
+    def body(carry):
+        G = unflatten(carry[0])
+        it = carry[1]
         Sq = _mm_grid(G, G, d)
         active = it < s
         return tuple(
             jnp.where(active, Sq[i][j], G[i][j])
             for i in range(d)
             for j in range(d)
-        )
+        ), it + 1
 
-    flat = jax.lax.fori_loop(0, _SQUARINGS_MAX, body, flatten(R))
+    flat, _ = jax.lax.while_loop(cond, body, (flatten(R), jnp.asarray(0.0)))
     for r in range(d * d):
         out_ref[r] = flat[r]
 
