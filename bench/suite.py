@@ -196,14 +196,14 @@ def main():
     del x2j, x2
 
     # --- expm / logm SE(3)-ish 4x4 ------------------------------------------
-    X = rng.standard_normal((MID, 4, 4)).astype(np.float32) * 0.5
+    X = rng.standard_normal((BIG, 4, 4)).astype(np.float32) * 0.5
     Xj = jax.device_put(jnp.asarray(X))
     f = jax.jit(L.expm)
     dt = honest_time(f, Xj, calls=8)
     import scipy.linalg as sla
     want = np.stack([sla.expm(np.asarray(m, np.float64)) for m in X[:256]])
     med, p99 = rel_err(np.asarray(f(Xj[:256])), want)
-    record("expm 4x4", MID, "f32", MID, dt, med, p99, "expm/s")
+    record("expm 4x4", BIG, "f32", BIG, dt, med, p99, "expm/s")
     # logm inputs built on device (expm), accuracy = roundtrip vs X
     # (well-conditioned: ||X|| <= ~2) + scipy spot-check on a slice
     Ej = f(Xj)
@@ -211,7 +211,8 @@ def main():
     dt = honest_time(f, Ej, calls=8)
     med, p99 = rel_err(np.asarray(f(Ej[:8192])),
                        np.asarray(Xj[:8192], np.float64))
-    record("logm 4x4 (batched ISS)", MID, "f32", MID, dt, med, p99, "logm/s")
+    record("logm 4x4 (batched ISS)", BIG, "f32", BIG, dt, med, p99, "logm/s")
+    del Xj, Ej
 
     # --- nan reductions ------------------------------------------------------
     xx = rng.standard_normal((BIG, 64)).astype(np.float32)

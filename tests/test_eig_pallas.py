@@ -108,3 +108,32 @@ class TestPublicDispatch:
             eig_sym(a, backend="nope")
         with pytest.raises(ValueError):
             eig_sym(jnp.asarray(np.eye(9)), backend="pallas")  # n > 8
+
+
+def test_clustered_eigenvalues(rng):
+    """Nearly-degenerate spectra stress the adaptive sweep exit: the
+    off-norm threshold must not stop before the cluster resolves."""
+    n, b = 4, 120
+    w = np.stack([np.array([1.0, 1.0 + 1e-9, 2.0, 3.0])] * b)
+    q, _ = np.linalg.qr(rng.standard_normal((b, n, n)))
+    full = np.einsum("...ij,...j,...kj->...ik", q, w, q)
+    full = 0.5 * (full + np.swapaxes(full, -1, -2))
+    compact = np.ascontiguousarray(
+        np.asarray(full_to_sym(jnp.asarray(full))).T)
+    got = np.sort(np.asarray(eig_sym_cf(jnp.asarray(compact), block=128)).T, -1)
+    want = np.sort(np.linalg.eigvalsh(full), -1)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_near_diagonal_fast_exit(rng):
+    """Near-diagonal input (off-norm at round-off) must exit quickly
+    AND exactly preserve the diagonal as eigenvalues."""
+    n, b = 4, 130
+    d = rng.standard_normal((b, n))
+    full = np.einsum("...i,ij->...ij", d, np.eye(n))
+    full = full + rng.standard_normal((b, n, n)) * 1e-18
+    full = 0.5 * (full + np.swapaxes(full, -1, -2))
+    compact = np.ascontiguousarray(
+        np.asarray(full_to_sym(jnp.asarray(full))).T)
+    got = np.sort(np.asarray(eig_sym_cf(jnp.asarray(compact), block=128)).T, -1)
+    np.testing.assert_allclose(got, np.sort(d, -1), rtol=1e-12, atol=1e-15)

@@ -97,3 +97,33 @@ class TestLogmPallas:
         got = np.asarray(logm_cf(cf, block=128)).T.reshape(-1, 3, 3)
         want = np.asarray(_logm_impl(jnp.asarray(E)))
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+def test_expm_zero_and_identity(rng):
+    """Edge depths: X = 0 (s = 0, loop exits immediately) and a
+    mixed-norm batch where only some lanes need deep squaring."""
+    z = jnp.zeros((16, 40))
+    out = np.asarray(expm_cf(z, block=128)).T.reshape(-1, 4, 4)
+    np.testing.assert_allclose(out, np.broadcast_to(np.eye(4), out.shape),
+                               atol=1e-15)
+    X = rng.standard_normal((40, 4, 4))
+    X[::2] *= 20.0   # half the batch needs ~6 extra squarings
+    cf = jnp.asarray(np.ascontiguousarray(X.reshape(-1, 16).T))
+    got = np.asarray(expm_cf(cf, block=128)).T.reshape(-1, 4, 4)
+    want = np.stack([sla.expm(m) for m in X])
+    r = np.abs(got - want) / (np.abs(want) + 1e-30)
+    assert np.median(r) < 1e-10
+
+
+def test_logm_mixed_depth(rng):
+    """ISS depth varies per lane: spectra near 1 and far from 1 in the
+    same block."""
+    from fastmath_tpu.kernels.logm_pallas import logm_cf
+
+    X = rng.standard_normal((40, 4, 4)) * 0.1
+    X[::2] *= 15.0   # ||X|| ~ 6: E far from I, needs several sqrts
+    E = np.stack([sla.expm(m) for m in X])
+    cf = jnp.asarray(np.ascontiguousarray(E.reshape(-1, 16).T))
+    got = np.asarray(logm_cf(cf, block=128)).T.reshape(-1, 4, 4)
+    r = np.abs(got - X) / (np.abs(X) + 1e-6)
+    assert np.median(r) < 1e-9
