@@ -90,7 +90,9 @@ def expm(X, basis=None, max_order: int = 10000, tol: float = 1e-32,
 
     ``backend``: ``"auto"`` routes real d <= 4 input to the one-pass
     Pallas register kernel on TPU (:func:`fastmath_tpu.kernels.expm_cf`);
-    ``"pallas"`` / ``"xla"`` force a path.
+    ``"pallas"`` / ``"xla"`` force a path. The Pallas path carries a
+    custom VJP (reverse-mode only); for forward-mode AD (``jax.jvp`` /
+    ``jacfwd``) use ``backend="xla"`` or :func:`expm_derivatives`.
     """
     if basis is not None:
         X = _reconstruct_log(X, basis)

@@ -127,3 +127,17 @@ def test_logm_mixed_depth(rng):
     got = np.asarray(logm_cf(cf, block=128)).T.reshape(-1, 4, 4)
     r = np.abs(got - X) / (np.abs(X) + 1e-6)
     assert np.median(r) < 1e-9
+
+
+def test_xla_backend_supports_jvp(rng):
+    """Forward-mode AD works on the XLA path (the pallas path is
+    reverse-mode only — custom_vjp; documented)."""
+    X = jnp.asarray(rng.standard_normal((4, 3, 3)) * 0.3)
+    T = jnp.asarray(rng.standard_normal((4, 3, 3)))
+    out, tang = jax.jvp(lambda x: expm_public(x, backend="xla"), (X,), (T,))
+    assert np.isfinite(np.asarray(tang)).all()
+    # finite-difference agreement
+    h = 1e-6
+    fd = (np.asarray(expm_public(X + h * T, backend="xla"))
+          - np.asarray(expm_public(X - h * T, backend="xla"))) / (2 * h)
+    np.testing.assert_allclose(np.asarray(tang), fd, rtol=2e-4, atol=1e-7)
