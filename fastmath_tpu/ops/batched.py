@@ -40,7 +40,10 @@ __all__ = [
 ]
 
 _CLOSED_FORM_MAX = 4
-_CHOL_UNROLL_MAX = 8
+#: Largest n for the fully unrolled Cholesky (n^3/6 fused FMAs —
+#: small enough to unroll through 16, the BASELINE gate size; the
+#: blocked XLA path at 16x16 is ~10x slower on TPU).
+_CHOL_UNROLL_MAX = 16
 _MATMUL_UNROLL_MAX = 6
 
 #: Largest n routed through the trace-time unrolled pivoted LU.
