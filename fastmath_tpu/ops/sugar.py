@@ -58,11 +58,12 @@ def kron2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def _chol_solve(a, b):
     from jax.scipy.linalg import solve_triangular
 
-    if a.shape[-1] <= 8 and not jnp.issubdtype(
+    if a.shape[-1] <= 16 and not jnp.issubdtype(
         jnp.result_type(a, b), jnp.complexfloating
     ):
         # unrolled cholesky + substitutions: fuses, ~20x XLA's blocked
-        # path for tiny n on TPU (see ops/batched.py)
+        # path for small n on TPU (see ops/batched.py; unroll gate 16
+        # matches batchchol)
         from .batched import _chol_solve_unrolled
 
         return _chol_solve_unrolled(a, jnp.asarray(b))

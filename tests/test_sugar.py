@@ -99,3 +99,14 @@ def test_round():
     x = jnp.asarray([1.2345, -0.6789])
     np.testing.assert_allclose(np.asarray(S.round(x, 2)), [1.23, -0.68])
     np.testing.assert_allclose(np.asarray(S.round(x)), [1.0, -1.0])
+
+
+def test_lmdiv_chol_n16(rng):
+    """chol method at the 16x16 unroll gate vs numpy."""
+    n = 16
+    a = rng.standard_normal((30, n, n))
+    spd = a @ np.swapaxes(a, -1, -2) + n * np.eye(n)
+    b = rng.standard_normal((30, n, 2))
+    got = np.asarray(S.lmdiv(jnp.asarray(spd), jnp.asarray(b), method="chol"))
+    np.testing.assert_allclose(got, np.linalg.solve(spd, b), rtol=1e-7,
+                               atol=1e-9)
