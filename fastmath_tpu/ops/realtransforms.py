@@ -69,7 +69,11 @@ flipnorm = {
 fliptype = {1: 1, 2: 3, 3: 2, 4: 4}
 
 # axis lengths up to this use the MXU matmul path; beyond, the FFT path
-MATMUL_MAX_N = 1024
+# Measured on v5e (BENCH_MEASURED / exp): the MXU basis-matmul path
+# beats the FFT path at every n through 4096 (2.2x at 2048, 1.4x at
+# 4096, f32 'highest'); the basis matrix is n^2 x 4 B (67 MB at 4096),
+# so the FFT path takes over beyond this gate.
+MATMUL_MAX_N = 4096
 
 
 # ---------------------------------------------------------------------------

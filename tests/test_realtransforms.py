@@ -138,3 +138,26 @@ def test_gradcheck(fam, type, norm, rng):
         fd = (loss(x + e) - loss(x - e)) / (2 * h)
         np.testing.assert_allclose(np.asarray(g[idx]), np.asarray(fd),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_large_n_matmul_path(rng):
+    """n = 2048 stays on the basis-matmul path (measured faster than
+    FFT through 4096 on TPU); parity vs scipy."""
+    import scipy.fft as sfft
+    from fastmath_tpu.ops import realtransforms as RT
+
+    x = rng.standard_normal((4, 2048))
+    got = np.asarray(RT.dct(jnp.asarray(x), norm="ortho"))
+    want = sfft.dct(x, norm="ortho")
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+def test_beyond_gate_fft_path(rng):
+    """n just above the gate exercises the FFT path; parity vs scipy."""
+    import scipy.fft as sfft
+    from fastmath_tpu.ops import realtransforms as RT
+
+    x = rng.standard_normal((2, 4100))
+    got = np.asarray(RT.dct(jnp.asarray(x), norm="ortho"))
+    want = sfft.dct(x, norm="ortho")
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
