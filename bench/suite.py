@@ -191,7 +191,7 @@ def main():
     dt2 = honest_time(f2, x2j)
     med2, p992 = rel_err(np.asarray(f2(x2j[:1024])),
                          sfft.dct(x2[:1024].astype(np.float64), norm="ortho"))
-    record("dct-II n=2048 ortho (FFT)", nfft, "f32", nfft, dt2, med2, p992,
+    record("dct-II n=2048 ortho (MXU)", nfft, "f32", nfft, dt2, med2, p992,
            "rows/s")
     del x2j, x2
 
