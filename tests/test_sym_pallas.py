@@ -134,3 +134,39 @@ def test_matvec_grad(rng):
 def test_layout_error():
     with pytest.raises(ValueError):
         sym_solve_cf(jnp.zeros((7, 10)), jnp.zeros((4, 10)))
+
+
+def test_solve_eps_smoothing(rng):
+    """eps= diagonal smoothing in the kernel (reference
+    _impl/sym.py:377-382 contract): singular matrices become solvable."""
+    import jax.numpy as jnp
+    from fastmath_tpu.kernels import sym_solve_cf
+    from fastmath_tpu.layouts import full_to_sym, sym_to_full
+
+    n, b = 3, 140
+    # rank-deficient: outer product of a single vector
+    u = rng.standard_normal((b, n))
+    full = np.einsum("...i,...j->...ij", u, u)
+    cf = np.ascontiguousarray(np.asarray(full_to_sym(jnp.asarray(full))).T)
+    v = rng.standard_normal((b, n))
+    eps = 1e-2
+    x = np.asarray(sym_solve_cf(jnp.asarray(cf), jnp.asarray(v.T.copy()),
+                                eps=eps, block=128, refine=0)).T
+    want = np.linalg.solve(full + eps * np.eye(n), v[..., None])[..., 0]
+    np.testing.assert_allclose(x, want, rtol=1e-8, atol=1e-10)
+    assert np.isfinite(x).all()
+
+
+def test_broadcast_matvec_scalar_mat(rng):
+    """A single compact matrix broadcast over a lane batch."""
+    import jax.numpy as jnp
+    from fastmath_tpu.kernels import sym_matvec_cf
+    from fastmath_tpu.layouts import full_to_sym
+
+    n, b = 4, 300
+    a = rng.standard_normal((n, n)); full = a + a.T
+    cf = np.asarray(full_to_sym(jnp.asarray(full)))
+    v = rng.standard_normal((b, n))
+    got = np.asarray(sym_matvec_cf(jnp.asarray(cf)[:, None],
+                                   jnp.asarray(v.T.copy()), block=128)).T
+    np.testing.assert_allclose(got, v @ full.T, rtol=1e-12)
