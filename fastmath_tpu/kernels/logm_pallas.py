@@ -86,52 +86,70 @@ def _logm_kernel(d, order, db_tol, mat_ref, out_ref):
                 acc = t if acc is None else acc + t
         return acc
 
+    def any_active(d2, tol2):
+        # block-global test that excludes non-finite lanes: one
+        # divergent matrix (negative real eigenvalues -> NaN) must not
+        # freeze or early-exit the whole block
+        return jnp.any(jnp.where(jnp.isfinite(d2), d2, 0.0) > tol2)
+
     # Both loops below are while_loops with block-global convergence
     # tests (M -> I quadratically): typical inputs exit after ~5-7
     # iterations instead of always paying the cap — measured 2.6x on
     # v5e at 1M 4x4. The caps only bound the worst case.
     def sqrt_db(G):
+        # product form with the cancellation-free M-update
+        # ``M <- 1/4 M^-1 (M + I)^2``. Deliberately UNSCALED: on-cut
+        # eigenvalues must diverge to NaN (the rescue signal), not be
+        # silently converged to a non-principal branch (see
+        # ``ops.lie._sqrtm_db``)
         def cond(carry):
             M = _unflatten(carry[0], d)
-            return (carry[2] < _DB_ITERS) & (
-                jnp.max(dist2(M)) > db_tol * db_tol
+            return (carry[2] < _DB_ITERS) & any_active(
+                dist2(M), db_tol * db_tol
             )
 
         def body(carry):
             M = _unflatten(carry[0], d)
             Y = _unflatten(carry[1], d)
             Minv = _inv_grid(M, d)
-            Yn = [
-                [(functools.reduce(
-                    lambda acc, k: acc + Y[i][k] * (eye[k][j] + Minv[k][j]),
-                    range(1, d),
-                    Y[i][0] * (eye[0][j] + Minv[0][j]),
-                )) * 0.5 for j in range(d)]
+            T = [
+                [M[i][j] + eye[i][j] for j in range(d)]
                 for i in range(d)
             ]
-            Mn = [
-                [0.5 * (eye[i][j] + 0.5 * (M[i][j] + Minv[i][j]))
-                 for j in range(d)]
-                for i in range(d)
-            ]
+            Yn = [[v * 0.5 for v in row] for row in _mm_grid(
+                _mm_grid(Y, Minv, d), T, d)]
+            Mn = [[v * 0.25 for v in row] for row in _mm_grid(
+                Minv, _mm_grid(T, T, d), d)]
             return _flatten(Mn, d), _flatten(Yn, d), carry[2] + 1
 
         carry = jax.lax.while_loop(
             cond, body,
             (_flatten(G, d), _flatten(G, d), jnp.asarray(0)),
         )
-        return _unflatten(carry[1], d)
+        # per-lane convergence: a lane that hit the cap mid-air must
+        # not be mistaken for a square root (on-cut eigenvalues bounce
+        # forever) — NaN it so the ISS flags it instead of re-sqrt-ing
+        # garbage that could land near I on a wrong branch
+        Mf = _unflatten(carry[0], d)
+        d2 = dist2(Mf)
+        conv = jnp.isfinite(d2) & (d2 <= (8 * db_tol) ** 2)
+        Yf = _unflatten(carry[1], d)
+        return [
+            [jnp.where(conv, Yf[i][j], jnp.nan) for j in range(d)]
+            for i in range(d)
+        ]
 
     def iss_cond(carry):
         Af = _unflatten(carry[0], d)
-        return (carry[2] < _ISS_MAX) & (
-            jnp.max(dist2(Af)) > _THRESH * _THRESH
+        return (carry[2] < _ISS_MAX) & any_active(
+            dist2(Af), _THRESH * _THRESH
         )
 
     def iss_body(carry):
         Af = _unflatten(carry[0], d)
         k = carry[1]
-        need = dist2(Af) > _THRESH * _THRESH
+        d2 = dist2(Af)
+        need = jnp.isfinite(d2) & (d2 > _THRESH * _THRESH)
         As = sqrt_db(Af)
         An = [
             [jnp.where(need, As[i][j], Af[i][j]) for j in range(d)]
@@ -144,6 +162,11 @@ def _logm_kernel(d, order, db_tol, mat_ref, out_ref):
         iss_cond, iss_body, (_flatten(A, d), k0, jnp.asarray(0))
     )
     A = _unflatten(flat, d)
+    # flag lanes whose square-root chain never reached the series
+    # region (eigenvalues on the negative real axis): NaN them so the
+    # public op can reroute exactly those through its exceptional path
+    d2 = dist2(A)
+    bad = ~(jnp.isfinite(d2) & (d2 <= _THRESH * _THRESH))
 
     # log(A) = 2 atanh(Z), Z = (A - I)(A + I)^{-1}; Gregory series
     Ap = [[A[i][j] + eye[i][j] for j in range(d)] for i in range(d)]
@@ -155,7 +178,7 @@ def _logm_kernel(d, order, db_tol, mat_ref, out_ref):
         P = _mm_grid(Z2, acc, d)
         acc = [[eye[i][j] / m + P[i][j] for j in range(d)] for i in range(d)]
     L = _mm_grid(Z, acc, d)
-    scale = 2.0 * jnp.exp2(k)
+    scale = jnp.where(bad, jnp.nan, 2.0 * jnp.exp2(k))
     for i in range(d):
         for j in range(d):
             out_ref[i * d + j] = L[i][j] * scale

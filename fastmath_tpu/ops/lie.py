@@ -23,10 +23,18 @@ gradients); ``logm`` carries a custom VJP via the same Mathias
 block-matrix chain rule the reference uses (``_impl/logm.py:12-59``),
 evaluated batched on device instead of per-matrix on CPU.
 
-Divergence (documented): for real input whose principal log is complex
-(negative real eigenvalues), the reference returns the real part of
-scipy's complex log; this implementation returns NaNs, which ``meanm``
-detects for its divergence warning (reference ``lie.py:80-82``).
+Branch-cut contract (matches the reference, ``_impl/logm.py:76-83``):
+for real input whose principal log is complex (eigenvalues on the
+negative real axis — reflections, rotations by pi, negative scalings),
+``logm`` returns the **real part of the complex principal log**, like
+scipy real-cast. The fast real ISS path flags such matrices per-batch
+and reroutes only those through an exceptional path: normal matrices
+via joint Hermitian diagonalization (exact branch handling per
+eigenvalue), non-normal ones via an imaginary spectral shift with a
+series correction (accuracy ~1e-11 in f64, ~1e-4 in f32; documented).
+Known ambiguity: inputs with complex eigenvalue *pairs* within ~1e-8
+of the cut sit on a genuine discontinuity of the real-cast map — any
+numerical method (scipy included) resolves them by rounding noise.
 """
 from __future__ import annotations
 
@@ -40,8 +48,8 @@ from .sugar import lmdiv
 __all__ = ["expm", "logm", "meanm", "expm_derivatives"]
 
 _SQUARINGS_MAX = 20  # handles ||X|| up to ~2^20 * 0.5
-_ISS_STEPS_MAX = 10  # inverse-scaling steps for logm
-_DB_ITERS = 16  # Denman-Beavers iterations per square root
+_ISS_STEPS_MAX = 12  # inverse-scaling steps for logm
+_DB_ITERS = 36  # Denman-Beavers iteration cap per square root
 
 
 def _taylor_order(dtype) -> int:
@@ -188,78 +196,105 @@ def _inv_small(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.inv(M)
 
 
-def _sqrtm_db(A: jnp.ndarray, iters: int = _DB_ITERS) -> jnp.ndarray:
+def _sqrtm_db(
+    A: jnp.ndarray, iters: int = _DB_ITERS, scaled: bool = False
+) -> jnp.ndarray:
     """Principal square root by the product-form Denman-Beavers
-    iteration (one batched inverse per step).
+    iteration (one batched inverse per step), real or complex batches.
 
-    ``while_loop`` with a batch-global convergence test (M -> I
-    quadratically): typical inputs finish in 6-8 iterations instead of
-    always paying ``iters`` — the cap only bounds the worst case, no
-    matrix is ever stopped early (per-element accuracy is governed by
-    the quadratic convergence, not the exit test)."""
+    Numerical refinements over the textbook form:
+
+    * the M-update is evaluated as ``M <- 1/4 M^-1 (M + I)^2`` —
+      algebraically identical to ``1/2 (I + (M + M^-1)/2)`` but
+      cancellation-free when M has eigenvalues near -1 (the
+      ``M + M^-1`` form loses the O(dist-to-cut^2) information to
+      roundoff there);
+    * the batch-global ``while_loop`` convergence test excludes
+      non-finite lanes, so one singular/divergent matrix cannot freeze
+      or early-exit the whole batch (its lanes stay NaN and are flagged
+      downstream);
+    * ``scaled=True`` adds determinant scaling (Higham 2008 §6.5) for
+      near-uniform convergence. It is ONLY safe when the spectrum is
+      known to be bounded away from the negative real axis (the
+      imaginary-shift route): on exactly-on-cut eigenvalues, scaling
+      can converge to a non-principal branch *silently*, whereas the
+      unscaled iteration diverges to NaN — which is the signal the
+      public ``logm`` uses to reroute those matrices.
+    """
     d = A.shape[-1]
     eye = jnp.eye(d, dtype=A.dtype)
-    from .batched import batchmatmul as mm  # unrolled for tiny d (TPU)
+    from .batched import batchdet, batchmatmul as mm
 
     tol = float(jnp.finfo(A.dtype).eps) * d * 4
 
     def cond(carry):
         M, Y, it = carry
-        dist = jnp.max(jnp.sum(jnp.abs(M - eye) ** 2, axis=(-2, -1)))
-        return (it < iters) & (dist > tol * tol)
+        d2 = jnp.sum(jnp.abs(M - eye) ** 2, axis=(-2, -1))
+        active = jnp.isfinite(d2) & (d2 > tol * tol)
+        return (it < iters) & jnp.any(active)
 
     def body(carry):
         M, Y, it = carry
+        if scaled:
+            det = jnp.abs(batchdet(M))
+            safe = jnp.isfinite(det) & (det > 0)
+            mu2 = jnp.where(safe, det, 1.0) ** (-1.0 / d)
+            mu2 = jnp.where(safe, mu2, 1.0)[..., None, None]
+        else:
+            mu2 = 1.0
         Minv = _inv_small(M)
-        Y = mm(Y, eye + Minv) * 0.5
-        M = 0.5 * (eye + 0.5 * (M + Minv))
+        T = mu2 * M + eye
+        Y = (0.5 / jnp.sqrt(mu2)) * mm(mm(Y, Minv), T)
+        M = (0.25 / mu2) * mm(Minv, mm(T, T))
         return M, Y, it + 1
 
-    _, Y, _ = jax.lax.while_loop(cond, body, (A, A, jnp.asarray(0)))
-    return Y
+    M, Y, _ = jax.lax.while_loop(cond, body, (A, A, jnp.asarray(0)))
+    # per-matrix convergence: a lane that hit the iteration cap mid-air
+    # must NOT be mistaken for a square root (on-cut eigenvalues bounce
+    # forever; accepting the non-converged Y would let a later ISS step
+    # land near I with a wrong branch). NaN it so failure propagates.
+    d2 = jnp.sum(jnp.abs(M - eye) ** 2, axis=(-2, -1))
+    conv = jnp.isfinite(d2) & (d2 <= (8 * tol) ** 2)
+    return jnp.where(conv[..., None, None], Y, jnp.nan * Y)
 
 
-def _logm_impl(mat):
-    A = jnp.asarray(mat)
-    if not jnp.issubdtype(A.dtype, jnp.floating) and not jnp.issubdtype(
-        A.dtype, jnp.complexfloating
-    ):
-        A = A.astype(jnp.result_type(float))
+def _iss_log_core(A, scaled: bool = False):
+    """Shared inverse-scaling-and-squaring + Gregory-series logm core
+    (real or complex batches). Returns ``(L, ok)`` where ``ok`` flags,
+    per matrix, that the masked square-root chain actually reached the
+    series' convergence region — matrices with eigenvalues on the
+    negative real axis (no principal square-root chain) come back
+    ``ok=False`` instead of silently wrong."""
     d = A.shape[-1]
-    if (
-        d <= 4
-        and not jnp.issubdtype(A.dtype, jnp.complexfloating)
-        and jax.default_backend() == "tpu"
-    ):
-        # one-memory-pass register kernel (kernels/logm_pallas.py)
-        from ..kernels.logm_pallas import logm_cf
-
-        cf = jnp.moveaxis(A.reshape(*A.shape[:-2], d * d), -1, 0)
-        out = logm_cf(cf)
-        return jnp.moveaxis(out, 0, -1).reshape(A.shape)
     eye = jnp.eye(d, dtype=A.dtype)
+    rdt = jnp.finfo(A.dtype).dtype  # real counterpart of A.dtype
     thresh = 0.25
 
-    def dist_to_eye(M):
-        return jnp.sqrt(jnp.sum(jnp.abs(M - eye) ** 2, axis=(-2, -1)))
+    def dist2(M):
+        return jnp.sum(jnp.abs(M - eye) ** 2, axis=(-2, -1))
 
     def cond(carry):
         A, k, it = carry
-        return (it < _ISS_STEPS_MAX) & jnp.any(dist_to_eye(A) > thresh)
+        d2 = dist2(A)
+        active = jnp.isfinite(d2) & (d2 > thresh * thresh)
+        return (it < _ISS_STEPS_MAX) & jnp.any(active)
 
     def body(carry):
         A, k, it = carry
-        need = dist_to_eye(A) > thresh
-        As = _sqrtm_db(A)
+        d2 = dist2(A)
+        need = jnp.isfinite(d2) & (d2 > thresh * thresh)
+        As = _sqrtm_db(A, scaled=scaled)
         A = jnp.where(need[..., None, None], As, A)
-        k = k + need.astype(A.dtype)
+        k = k + need.astype(rdt)
         return A, k, it + 1
 
-    k0 = jnp.zeros(A.shape[:-2], dtype=A.dtype)
-    # while_loop: stop as soon as every matrix is within `thresh` of I
-    # (per-matrix depth still tracked in k; the global test only skips
-    # whole iterations in which no matrix needs another square root)
+    k0 = jnp.zeros(A.shape[:-2], dtype=rdt)
+    # while_loop: stop as soon as every finite matrix is within
+    # `thresh` of I (per-matrix depth still tracked in k; non-finite
+    # lanes are excluded so they cannot stall or early-exit the batch)
     A, k, _ = jax.lax.while_loop(cond, body, (A, k0, jnp.asarray(0)))
+    d2 = dist2(A)
+    ok = jnp.isfinite(d2) & (d2 <= thresh * thresh)
 
     # log(A) = 2 * atanh(Z) with Z = (A - I)(A + I)^{-1}, ||Z|| small
     from .batched import batchmatmul as mm  # unrolled for tiny d (TPU)
@@ -269,8 +304,109 @@ def _logm_impl(mat):
     acc = eye / order
     for m in range(order - 2, 0, -2):
         acc = eye / m + mm(Z2, acc)
-    L = 2.0 * mm(Z, acc)
-    return L * (2.0**k)[..., None, None]
+    L = 2.0 * mm(Z, acc) * (2.0**k)[..., None, None]
+    ok = ok & jnp.all(jnp.isfinite(L), axis=(-2, -1))
+    return L, ok
+
+
+def _logm_exceptional(A):
+    """Branch-cut-capable batched logm for matrices the real/plain ISS
+    path cannot handle (eigenvalues on the negative real axis). Input
+    may be real or complex; output is the complex principal log (the
+    caller real-casts for real input, reference ``_impl/logm.py:81-83``).
+
+    Two per-matrix routes, selected by a normality test:
+
+    * **normal** (rotations, reflections, symmetric/skew — the SE(3)
+      workload): joint diagonalization. For normal ``A``,
+      ``C = H + i*t*K`` with ``H = (A + A^H)/2``, ``K = (A - A^H)/2``
+      is Hermitian and shares A's eigenvectors, so one batched
+      Hermitian Jacobi eigendecomposition recovers them; each
+      eigenvalue's principal log is then exact (atan2 branch). ``t``
+      is an irrational-ish constant so distinct eigenvalues of A
+      cannot collide in C (members of a conjugate pair split since
+      their K-parts differ in sign).
+    * **non-normal**: imaginary spectral shift ``B = A + i*delta*I``
+      (moves on-cut eigenvalues onto the principal side), complex ISS,
+      then the exact commuting-series correction
+      ``log B - sum_k (-1)^{k+1} (i*delta)^k A^{-k} / k`` (k <= 4),
+      leaving O(delta^5 + eps/delta^2) error — ~1e-11 in f64.
+    """
+    d = A.shape[-1]
+    cdt = jnp.result_type(A.dtype, jnp.complex64)
+    rdt = jnp.finfo(cdt).dtype
+    from .batched import batchmatmul as mm
+
+    Ah = jnp.swapaxes(jnp.conj(A), -1, -2)
+    comm = mm(A, Ah) - mm(Ah, A)
+    c2 = jnp.sum(jnp.abs(comm) ** 2, axis=(-2, -1))
+    a2 = jnp.sum(jnp.abs(A) ** 2, axis=(-2, -1))
+    eps = float(jnp.finfo(rdt).eps)
+    is_normal = c2 <= (64 * eps) ** 2 * a2**2
+
+    Ac = A.astype(cdt)
+
+    # (a) normal route: joint Hermitian diagonalization
+    t = 0.7390851332151607
+    C = (0.5 * (A + Ah)).astype(cdt) + (1j * t) * (0.5 * (A - Ah)).astype(cdt)
+    from .qr import eig_sym
+
+    _, V = eig_sym(C, compute_u=True, check_finite=False, backend="xla")
+    lam = jnp.einsum("...ij,...ij->...j", jnp.conj(V), mm(Ac, V))
+    Ln = jnp.einsum(
+        "...ik,...k,...jk->...ij", V, jnp.log(lam), jnp.conj(V)
+    )
+
+    # (b) shift route
+    delta0 = 5e-4 if eps < 1e-10 else 2e-2
+    norm1 = jnp.max(jnp.sum(jnp.abs(A), axis=-2), axis=-1)
+    dl = (delta0 * jnp.maximum(norm1, 1e-30)).astype(rdt)
+    eye = jnp.eye(d, dtype=cdt)
+    B = Ac + (1j * dl)[..., None, None] * eye
+    Ls, oks = _iss_log_core(B, scaled=True)
+    R1 = _inv_small(Ac)
+    R2 = mm(R1, R1)
+    e = (1j * dl)[..., None, None]
+    bracket = e * R1 - (e**2 / 2) * R2 + (e**3 / 3) * mm(R2, R1) \
+        - (e**4 / 4) * mm(R2, R2)
+    Lsh = Ls - bracket
+    nan = jnp.asarray(jnp.nan, cdt) * (1 + 1j)
+    Lsh = jnp.where(oks[..., None, None], Lsh, nan)
+
+    return jnp.where(is_normal[..., None, None], Ln, Lsh)
+
+
+def _logm_impl(mat):
+    A = jnp.asarray(mat)
+    if not jnp.issubdtype(A.dtype, jnp.floating) and not jnp.issubdtype(
+        A.dtype, jnp.complexfloating
+    ):
+        A = A.astype(jnp.result_type(float))
+    d = A.shape[-1]
+    is_complex = jnp.issubdtype(A.dtype, jnp.complexfloating)
+    if not is_complex and d <= 4 and jax.default_backend() == "tpu":
+        # one-memory-pass register kernel (kernels/logm_pallas.py);
+        # non-converged lanes come back NaN and are rescued below
+        from ..kernels.logm_pallas import logm_cf
+
+        cf = jnp.moveaxis(A.reshape(*A.shape[:-2], d * d), -1, 0)
+        out = logm_cf(cf)
+        L = jnp.moveaxis(out, 0, -1).reshape(A.shape)
+        ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))
+    else:
+        L, ok = _iss_log_core(A)
+    bad = ~ok
+
+    def rescue():
+        Lx = _logm_exceptional(A)
+        if not is_complex:
+            Lx = jnp.real(Lx)
+        return jnp.where(bad[..., None, None], Lx, L)
+
+    # data-dependent: the exceptional path only executes when some
+    # matrix actually sits on the branch cut (under vmap this becomes
+    # a select — both paths run — but top-level/jit calls pay nothing)
+    return jax.lax.cond(jnp.any(bad), rescue, lambda: L)
 
 
 @jax.custom_vjp
@@ -280,8 +416,12 @@ def logm(mat):
     series). Replaces the reference's per-matrix scipy/CPU loop
     (``_impl/logm.py:102-129``).
 
-    Real inputs whose principal log is complex yield NaNs (see module
-    docstring for the divergence note).
+    Real inputs whose principal log is complex (eigenvalues on the
+    negative real axis) return the **real part of the complex principal
+    log**, matching the reference's scipy real-cast
+    (``_impl/logm.py:81-83``); complex inputs return the complex
+    principal log. Only the affected matrices pay for the exceptional
+    path (see module docstring and :func:`_logm_exceptional`).
 
     Differentiable via the Mathias block-matrix chain rule (the
     reference's ``matrix_chain_rule``, ``_impl/logm.py:12``): the VJP
@@ -315,33 +455,63 @@ def meanm(mats, max_iter: int = 1024, tol: float = 1e-20):
     tangent space, ``expm`` back. All computations in float64
     (reference contract, ``lie.py:65-73``).
 
-    Reference analog: ``lie.py:13-91``. Divergence detection uses NaN in
-    the batched ``logm`` (standing in for the reference's complex-logm
-    check, ``lie.py:80-82``).
+    Reference analog: ``lie.py:13-91``. Like the reference, iteration
+    proceeds on the real-cast ``logm`` even for barycenters that swing
+    matrices across the branch cut (``lie.py:80-82`` — its complex
+    check never fires because its ``logm`` already real-casts); a NaN
+    from a genuinely singular projection still aborts with a warning.
+
+    The reference iterates in float64 unconditionally (``lie.py:65-73``);
+    under JAX that requires ``jax.config.update("jax_enable_x64", True)``.
+    When x64 is disabled this falls back to float32 and warns once.
     """
     mats = jnp.asarray(mats)
     in_dtype = mats.dtype
     use_f64 = jax.config.read("jax_enable_x64")
+    if not use_f64:
+        warnings.warn(
+            "meanm: jax_enable_x64 is off; iterating in float32 while "
+            "the reference contract is float64 (enable x64 for parity)",
+            RuntimeWarning,
+        )
     work = jnp.float64 if use_f64 else jnp.float32
     mats = mats.astype(work)
     dim = mats.shape[-1]
 
+    # Stall detection (divergence from the reference, documented): for
+    # batches containing rotations at/near the injectivity radius
+    # (angle pi), the fixed point is unstable at round-off — the
+    # residual bottoms out at the noise floor and then grows ~2x per
+    # iteration until the mean wanders off the manifold. Track the
+    # best-measured iterate and stop once the residual blows past it;
+    # the reference's loop (``lie.py:76-91``) would silently iterate
+    # to max_iter and return the wandered mean.
     def cond(carry):
-        _, sos, n_iter, diverged = carry
-        return (sos > tol) & (n_iter < max_iter) & ~diverged
+        _, _, best_sos, sos, n_iter, diverged = carry
+        stalled = sos > best_sos * 64
+        return (sos > tol) & (n_iter < max_iter) & ~diverged & ~stalled
 
     def body(carry):
-        mean, _, n_iter, _ = carry
+        mean, best_mean, best_sos, _, n_iter, _ = carry
         log_mats = logm(lmdiv(mean, mats))
         diverged = ~jnp.all(jnp.isfinite(log_mats))
         mean_log = jnp.mean(log_mats, axis=0)
         sos = jnp.sum(mean_log**2)
+        better = (sos < best_sos) & ~diverged
+        best_mean = jnp.where(better, mean, best_mean)
+        best_sos = jnp.where(better, sos, best_sos)
         new_mean = jnp.where(diverged, mean, mean @ expm(mean_log))
-        return new_mean, sos, n_iter + 1, diverged
+        return new_mean, best_mean, best_sos, sos, n_iter + 1, diverged
 
-    init = (jnp.eye(dim, dtype=work), jnp.asarray(jnp.inf, work),
-            jnp.asarray(0), jnp.asarray(False))
-    mean, _, _, diverged = jax.lax.while_loop(cond, body, init)
+    eye = jnp.eye(dim, dtype=work)
+    inf = jnp.asarray(jnp.inf, work)
+    init = (eye, eye, inf, inf, jnp.asarray(0), jnp.asarray(False))
+    mean, best_mean, best_sos, sos, _, diverged = jax.lax.while_loop(
+        cond, body, init
+    )
+    # the post-update mean is better than the best measured one iff the
+    # loop exited while still improving (tol/max_iter exit)
+    mean = jnp.where((sos <= best_sos) & ~diverged, mean, best_mean)
     if not isinstance(diverged, jax.core.Tracer) and bool(diverged):
         warnings.warn("`meanm` failed to converge (`logm` -> NaN)",
                       RuntimeWarning)

@@ -120,6 +120,133 @@ def test_meanm_identity():
     np.testing.assert_allclose(mean, np.eye(4), atol=1e-12)
 
 
+def _R3(axis, ang):
+    axis = np.asarray(axis, float)
+    axis = axis / np.linalg.norm(axis)
+    K = np.array([
+        [0, -axis[2], axis[1]],
+        [axis[2], 0, -axis[0]],
+        [-axis[1], axis[0], 0],
+    ])
+    return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+
+
+def _scipy_realcast(A):
+    ref = sla.logm(A, disp=False)[0]
+    return ref.real if np.iscomplexobj(ref) else ref
+
+
+@pytest.mark.parametrize(
+    "name,mat,tol",
+    [
+        ("minus_eye", -np.eye(2), 1e-12),
+        ("diag_neg_pos", np.diag([-1.0, 2.0]), 1e-12),
+        ("diag_two_neg", np.diag([-4.0, -0.25, 3.0]), 1e-12),
+        ("rot_pi_z", np.diag([-1.0, -1.0, 1.0]), 1e-12),
+        ("jordan_neg", np.array([[-1.0, 1.0], [0.0, -1.0]]), 1e-9),
+    ],
+)
+def test_logm_branch_cut_realcast(name, mat, tol):
+    """Real inputs with eigenvalues on the negative real axis return the
+    real part of the complex principal log, matching the reference's
+    scipy real-cast (``_impl/logm.py:76-83``)."""
+    want = _scipy_realcast(mat)
+    got = np.asarray(L.logm(jnp.asarray(mat)))
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+def test_logm_branch_cut_reflection(rng):
+    v = rng.standard_normal(3)
+    v /= np.linalg.norm(v)
+    H = np.eye(3) - 2 * np.outer(v, v)
+    got = np.asarray(L.logm(jnp.asarray(H)))
+    np.testing.assert_allclose(got, _scipy_realcast(H), atol=1e-12)
+
+
+def test_logm_branch_cut_rotation_pi_random_axis(rng):
+    R = _R3(rng.standard_normal(3), np.pi)
+    got = np.asarray(L.logm(jnp.asarray(R)))
+    np.testing.assert_allclose(got, _scipy_realcast(R), atol=1e-10)
+
+
+def test_logm_branch_cut_nonnormal(rng):
+    V = rng.standard_normal((4, 4))
+    A = V @ np.diag([-2.0, -0.5, 1.5, 3.0]) @ np.linalg.inv(V)
+    got = np.asarray(L.logm(jnp.asarray(A)))
+    np.testing.assert_allclose(got, _scipy_realcast(A), rtol=1e-8,
+                               atol=1e-8)
+
+
+@pytest.mark.parametrize("eps_ang", [1e-2, 1e-3, 1e-6])
+def test_logm_rotation_near_pi(eps_ang):
+    """Rotations near (but off) pi have a real principal log; whichever
+    internal path handles them, the result must match scipy."""
+    th = np.pi - eps_ang
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    got = np.asarray(L.logm(jnp.asarray(R)))
+    np.testing.assert_allclose(got, _scipy_realcast(R), rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_logm_mixed_batch_no_poisoning(rng):
+    """One on-cut matrix in a batch must not corrupt the others
+    (regression: the global while_loop convergence tests used to see
+    its NaN distance and early-exit for the whole batch)."""
+    good = sla.expm(rng.standard_normal((3, 3)) * 0.4)
+    batch = np.stack([np.diag([-1.0, -1.0, 1.0]), good, np.eye(3) * 2.0])
+    got = np.asarray(L.logm(jnp.asarray(batch)))
+    for i in range(3):
+        np.testing.assert_allclose(
+            got[i], _scipy_realcast(batch[i]), rtol=1e-9, atol=1e-10
+        )
+
+
+def test_logm_complex_input(rng):
+    A = rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))
+    A = A + 3 * np.eye(3)
+    got = np.asarray(L.logm(jnp.asarray(A)))
+    want = sla.logm(A, disp=False)[0]
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_logm_complex_negative_eig():
+    A = np.diag([-2.0 + 0j, 1.5 + 0.5j])
+    got = np.asarray(L.logm(jnp.asarray(A)))
+    want = sla.logm(A, disp=False)[0]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_meanm_rotations_including_pi(rng):
+    """meanm iterates on the real-cast logm (reference ``lie.py:80-82``
+    semantics) and stays finite on batches that swing across the cut."""
+    mats = np.stack([
+        _R3(rng.standard_normal(3), a) for a in [0.3, 2.0, np.pi, -2.8]
+    ])
+    mean = np.asarray(L.meanm(jnp.asarray(mats)))
+    assert np.isfinite(mean).all()
+    # the barycenter of rotations is (close to) a rotation
+    np.testing.assert_allclose(mean @ mean.T, np.eye(3), atol=1e-6)
+
+
+def test_logm_grad_branch_cut(rng):
+    """VJP through the exceptional path vs finite differences (the
+    real-cast map is smooth in the real part around a reflection)."""
+    A = np.diag([-2.0, 0.5, 1.5]) + 0.01 * rng.standard_normal((3, 3))
+    co = rng.standard_normal((3, 3))
+
+    def loss(m):
+        return jnp.sum(jnp.asarray(co) * L.logm(m))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(A)))
+    h = 1e-6
+    for idx in [(0, 0), (1, 2), (2, 1)]:
+        e = np.zeros_like(A)
+        e[idx] = h
+        fd = (float(loss(jnp.asarray(A + e)))
+              - float(loss(jnp.asarray(A - e)))) / (2 * h)
+        np.testing.assert_allclose(g[idx], fd, rtol=2e-4, atol=1e-6)
+
+
 def test_logm_grad_mathias(rng):
     """logm custom VJP (Mathias block chain rule) vs finite differences."""
     import jax
