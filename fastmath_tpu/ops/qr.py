@@ -129,8 +129,20 @@ def householder_apply(
     applies the reflectors in the opposite order (each P is Hermitian
     and involutive). Reference analog: ``qr.py:330-372`` /
     ``_impl/qr.py:72-114``.
+
+    ``k`` replicates the reference's behavior exactly
+    (``_impl/qr.py:86-88``: ``zip(ensure_list(k), u)``): its *length*
+    selects how many leading reflectors are applied — an int applies
+    exactly one, a list/range of length m applies the first m, ``None``
+    applies all. (The reference never reads the k *values*.)
+
+    Reflectors shorter than n act on the trailing ``len(u_k)`` rows/
+    columns (the reference's ``k0 = n - len(u_k)`` offset,
+    ``_impl/qr.py:95-103``) — here realized by zero-padding at the
+    front, which is algebraically identical.
     """
     a = _check_finite_square(a, check_finite)
+    n = a.shape[-1]
     if isinstance(u, (list, tuple)):
         us = list(u)
     else:
@@ -140,11 +152,19 @@ def householder_apply(
             us = [u[..., i, :] for i in range(u.shape[-2])]
         else:
             us = [u]
+    if k is not None:
+        if isinstance(k, range):
+            k = list(k)
+        n_apply = len(k) if isinstance(k, (list, tuple)) else 1
+        us = us[:n_apply]
     order = list(range(len(us)))
     if inverse:
         order = order[::-1]
     for i in order:
         uk = jnp.asarray(us[i])
+        if uk.shape[-1] < n:
+            pad = [(0, 0)] * (uk.ndim - 1) + [(n - uk.shape[-1], 0)]
+            uk = jnp.pad(uk, pad)
         if side in ("left", "both"):
             a = _apply_reflector_left(a, uk)
         if side in ("right", "both"):
@@ -401,9 +421,23 @@ def _jacobi_sweep(a, v):
 
 
 def _eig_sym_fwd_impl(a, max_sweeps: int, tol: float):
-    """Batched cyclic Jacobi. Returns (eigenvalues, eigenvectors)."""
+    """Batched cyclic Jacobi. Returns (eigenvalues, eigenvectors).
+
+    Convergence is tested **relative to the (rotation-invariant)
+    Frobenius norm**, per matrix, exactly like the Pallas kernel
+    (``kernels/eig_pallas.py``): exit once every matrix's off-diagonal
+    mass is at round-off, ``off^2 <= fro^2 * 16 eps^2``. An absolute
+    test (the reference's semantics, ``_impl/qr.py:600-605``) would
+    never fire in f32 — off^2 cannot reach 1e-32 for any O(1)-norm
+    matrix — so every call would pay all ``max_sweeps`` sweeps. ``tol``
+    acts as an additional absolute floor on the off-diagonal mass.
+    Non-finite matrices are excluded from the batch-global test.
+    """
     n = a.shape[-1]
     v0 = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    eps = float(jnp.finfo(a.dtype).eps)
+    fro2 = jnp.sum(jnp.abs(a) ** 2, axis=(-2, -1))
+    thresh = jnp.maximum(fro2 * (16.0 * eps * eps), tol)
 
     def off(m):
         m2 = jnp.abs(m) ** 2
@@ -413,7 +447,9 @@ def _eig_sym_fwd_impl(a, max_sweeps: int, tol: float):
 
     def cond(carry):
         a, v, it = carry
-        return (it < max_sweeps) & (jnp.max(off(a)) > tol)
+        o = off(a)
+        active = jnp.isfinite(o) & (o > thresh)
+        return (it < max_sweeps) & jnp.any(active)
 
     def body(carry):
         a, v, it = carry
@@ -552,6 +588,9 @@ def eig_sym(
     / ``"xla"`` force a path. Both paths carry the Giles custom VJP.
     """
     a = _check_finite_square(a, check_finite)
+    from ..core.dtypes import upcast_half
+
+    a, half = upcast_half(a)  # bf16/f16 compute in f32, round on output
     is_complex = jnp.issubdtype(a.dtype, jnp.complexfloating)
     if not is_complex and not jnp.issubdtype(a.dtype, jnp.floating):
         a = a.astype(jnp.result_type(float))
@@ -575,14 +614,24 @@ def eig_sym(
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_ok and jax.default_backend() == "tpu"
     )
+    def _out(w, u=None):
+        if half is not None:
+            w = w.astype(half)
+            u = u if u is None else u.astype(half)
+        return w if u is None else (w, u)
+
     if use_pallas:
         sweeps = 8 if n <= 4 else 10
         if compute_u:
-            return _eig_pallas_wu(sym, sweeps)
-        return _eig_pallas_w(sym, sweeps)
+            return _out(*_eig_pallas_wu(sym, sweeps))
+        return _out(_eig_pallas_w(sym, sweeps))
 
     max_sweeps = int(min(max_iter, _JACOBI_SWEEPS_MAX))
-    eff_tol = float(tol) if tol else float(jnp.finfo(a.dtype).eps) ** 2
+    # `tol` is an absolute floor on the per-matrix off-diagonal mass;
+    # the effective exit is Frobenius-relative (see _eig_sym_fwd_impl —
+    # documented divergence from the reference's batch-global absolute
+    # test, which in f32 would always run every sweep)
+    eff_tol = float(tol) if tol else 0.0
     w, u = _eig_sym_core(sym, max_sweeps, eff_tol)
     w = jnp.real(w)
-    return (w, u) if compute_u else w
+    return _out(w, u) if compute_u else _out(w)

@@ -132,6 +132,81 @@ def test_householder_apply(rng):
     np.testing.assert_allclose(got, P @ a, rtol=1e-10, atol=1e-12)
 
 
+def test_householder_apply_k(rng):
+    """`k` parity with the reference (``_impl/qr.py:86-88``): the
+    length of ``ensure_list(k)`` selects how many leading reflectors
+    are applied — an int applies exactly one, a list of length m the
+    first m, None all of them."""
+    n = 5
+    a = rng.standard_normal((n, n))
+    us = [Q.householder(jnp.asarray(rng.standard_normal(n)))
+          for _ in range(3)]
+    Ps = [np.eye(n) - 2 * np.outer(np.asarray(u), np.asarray(u))
+          for u in us]
+
+    def ref_apply(num):
+        out = a.copy()
+        for P in Ps[:num]:
+            out = P @ out @ P
+        return out
+
+    got_all = np.asarray(Q.householder_apply(jnp.asarray(a), us))
+    np.testing.assert_allclose(got_all, ref_apply(3), rtol=1e-10,
+                               atol=1e-12)
+    got_int = np.asarray(Q.householder_apply(jnp.asarray(a), us, k=2))
+    np.testing.assert_allclose(got_int, ref_apply(1), rtol=1e-10,
+                               atol=1e-12)
+    got_list = np.asarray(
+        Q.householder_apply(jnp.asarray(a), us, k=[0, 1])
+    )
+    np.testing.assert_allclose(got_list, ref_apply(2), rtol=1e-10,
+                               atol=1e-12)
+    got_range = np.asarray(
+        Q.householder_apply(jnp.asarray(a), us, k=range(2))
+    )
+    np.testing.assert_allclose(got_range, ref_apply(2), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_householder_apply_short_reflectors(rng):
+    """Reflectors shorter than n act on the trailing rows/columns (the
+    reference's ``k0 = n - len(u)`` offset, ``_impl/qr.py:95-103``)."""
+    n = 5
+    a = rng.standard_normal((n, n))
+    x = rng.standard_normal(3)
+    u3 = np.asarray(Q.householder(jnp.asarray(x)))
+    u_full = np.concatenate([np.zeros(2), u3])
+    P = np.eye(n) - 2 * np.outer(u_full, u_full)
+    got = np.asarray(
+        Q.householder_apply(jnp.asarray(a), jnp.asarray(u3), side="both")
+    )
+    np.testing.assert_allclose(got, P @ a @ P, rtol=1e-10, atol=1e-12)
+
+
+def test_eig_sym_f32_converges(rng):
+    """f32 eig must exit on the Frobenius-relative test (an absolute
+    1e-32 threshold can never fire in f32) and still be accurate."""
+    a = rng.standard_normal((50, 5, 5)).astype(np.float32)
+    a = a + np.swapaxes(a, -1, -2)
+    w = np.sort(np.asarray(Q.eig_sym(jnp.asarray(a))), -1)
+    want = np.sort(np.linalg.eigvalsh(a), -1)
+    np.testing.assert_allclose(w, want, rtol=1e-4, atol=1e-4)
+
+
+def test_eig_sym_nan_lane_isolation(rng):
+    """A NaN matrix in the batch must not freeze or early-exit the
+    sweep loop for the others."""
+    a = rng.standard_normal((4, 4, 4))
+    a = a + np.swapaxes(a, -1, -2)
+    a[1] = np.nan
+    w = np.asarray(Q.eig_sym(jnp.asarray(a), check_finite=False))
+    want = np.linalg.eigvalsh(a[[0, 2, 3]])
+    np.testing.assert_allclose(
+        np.sort(w[[0, 2, 3]], -1), want, rtol=1e-9, atol=1e-9
+    )
+    assert np.isnan(w[1]).all()
+
+
 @pytest.mark.parametrize("n", [3, 5, 8])
 def test_hessenberg(n, rng):
     a = rng.standard_normal((4, n, n))
