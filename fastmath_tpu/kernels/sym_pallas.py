@@ -31,8 +31,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.dtypes import upcast_half
 from ..layouts.sym import compact_size, sym_dim, tri_index
 from ..ops.sym import _adjugate_apply
+
+
+def _downcast(x, half):
+    return x if half is None else x.astype(half)
 
 __all__ = [
     "sym_solve_cf",
@@ -47,9 +52,26 @@ __all__ = [
 
 DEFAULT_BLOCK = 8192  # lanes per grid step (multiple of 128)
 
+#: Largest N served by the Pallas tier (adjugate closed forms N <= 4,
+#: in-register unrolled pivoted LU 5 <= N <= 8 — jitfields' kernels had
+#: no N cap, reference ``sym.py:16-24``; 8 matches the XLA tier's
+#: ``LU_UNROLL_MAX``).
+MAX_N = 8
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _default_block(n: int, block) -> int:
+    """Shrink the lane block as N grows: the PLU path keeps ~2 full
+    register grids (n^2 rows each) live per lane, and scoped VMEM is
+    ~16 MB (block x rows x 4 B x double-buffer must fit)."""
+    if block is not None:
+        return block
+    if n <= 4:
+        return DEFAULT_BLOCK
+    return 4096 if n <= 6 else 2048
 
 
 def _pad_to_block(arrs, block, diag_rows=0):
@@ -87,6 +109,76 @@ def _entries_rows(mat_ref_or_arr, n):
 # ---------------------------------------------------------------------------
 
 
+def _plu_grid(E, R, n):
+    """In-register unrolled LU with partial pivoting on an entry grid
+    (lists of lane vectors), eliminating the RHS rows ``R`` in place.
+
+    The per-lane dynamic pivot choice is expressed with one-hot masks
+    (first-max tie-break) and ``jnp.where`` row swaps — no gathers, so
+    the whole factorization stays lane-parallel VPU work (the register
+    analog of ``ops.batched._plu_unrolled``). ``E`` and ``R`` are
+    mutated; afterwards ``E`` holds U on/above the diagonal.
+    """
+    for k in range(n):
+        if k < n - 1:
+            m = jnp.abs(E[k][k])
+            for i in range(k + 1, n):
+                m = jnp.maximum(m, jnp.abs(E[i][k]))
+            taken = None
+            piv = []  # one-hot masks over rows k..n-1
+            for i in range(k, n):
+                hit = jnp.abs(E[i][k]) == m
+                if taken is not None:
+                    hit = hit & ~taken
+                taken = hit if taken is None else taken | hit
+                piv.append(hit)
+            old_k = E[k][:]
+            old_kr = R[k][:]
+            # pivot row -> row k
+            for j in range(n):
+                acc = E[k][j]
+                for i in range(k + 1, n):
+                    acc = jnp.where(piv[i - k], E[i][j], acc)
+                E[k][j] = acc
+            for c in range(len(R[k])):
+                acc = R[k][c]
+                for i in range(k + 1, n):
+                    acc = jnp.where(piv[i - k], R[i][c], acc)
+                R[k][c] = acc
+            # old row k -> the pivot's slot
+            for i in range(k + 1, n):
+                for j in range(n):
+                    E[i][j] = jnp.where(piv[i - k], old_k[j], E[i][j])
+                for c in range(len(R[i])):
+                    R[i][c] = jnp.where(piv[i - k], old_kr[c], R[i][c])
+        inv_p = 1.0 / E[k][k]
+        for i in range(k + 1, n):
+            l = E[i][k] * inv_p
+            for j in range(k + 1, n):
+                E[i][j] = E[i][j] - l * E[k][j]
+            for c in range(len(R[i])):
+                R[i][c] = R[i][c] - l * R[k][c]
+
+
+def _plu_grid_solve(E, rhs_cols, n):
+    """Unrolled PLU solve of ``E x = rhs`` for a list of RHS columns
+    (each a list of n lane vectors). Returns the solution columns.
+    Copies its inputs (callers keep the original grid for refinement)."""
+    E = [row[:] for row in E]
+    R = [[col[i] for col in rhs_cols] for i in range(n)]
+    _plu_grid(E, R, n)
+    ncols = len(rhs_cols)
+    X = [[None] * ncols for _ in range(n)]
+    for i in range(n - 1, -1, -1):
+        inv_d = 1.0 / E[i][i]
+        for c in range(ncols):
+            acc = R[i][c]
+            for j in range(i + 1, n):
+                acc = acc - E[i][j] * X[j][c]
+            X[i][c] = acc * inv_d
+    return [[X[i][c] for i in range(n)] for c in range(ncols)]
+
+
 def _solve_kernel(n, eps_vec, refine, mat_ref, vec_ref, out_ref):
     E = _entries_rows(mat_ref, n)
     if eps_vec is not None:
@@ -97,6 +189,27 @@ def _solve_kernel(n, eps_vec, refine, mat_ref, vec_ref, out_ref):
         x = v[0] / E[0][0]
         out_ref[0] = x
         return
+
+    if n > 4:
+        # unrolled pivoted LU (adjugate expansion explodes beyond 4)
+        (x,) = _plu_grid_solve(E, [v], n)
+        # refinement re-solves the residual from scratch — still worth
+        # it on a memory-bound kernel when requested, but default 0
+        # here (PLU with partial pivoting is already backward stable)
+        for _ in range(refine):
+            r = []
+            for i in range(n):
+                acc = v[i] - E[i][i] * x[i]
+                for j in range(n):
+                    if j != i:
+                        acc = acc - E[i][j] * x[j]
+                r.append(acc)
+            (dx,) = _plu_grid_solve(E, [r], n)
+            x = [xi + d for xi, d in zip(x, dx)]
+        for i in range(n):
+            out_ref[i] = x[i]
+        return
+
     out, det = _adjugate_apply(E, v, n)
     inv_det = 1.0 / det
     x = [o * inv_det for o in out]
@@ -131,6 +244,22 @@ def _invert_kernel(n, mat_ref, out_ref):
     from ..ops.sym import _det_expand
 
     E = _entries_rows(mat_ref, n)
+    if n > 4:
+        # unrolled pivoted LU against the n identity columns; the
+        # result is symmetrized into compact storage (the exact inverse
+        # is symmetric; averaging (i,j)/(j,i) removes roundoff skew)
+        one = jnp.ones_like(E[0][0])
+        zero = jnp.zeros_like(E[0][0])
+        eye_cols = [
+            [one if i == c else zero for i in range(n)] for c in range(n)
+        ]
+        X = _plu_grid_solve(E, eye_cols, n)  # X[c][i] = inv[i][c]
+        for i in range(n):
+            out_ref[i] = X[i][i]
+        for i in range(n):
+            for j in range(i + 1, n):
+                out_ref[tri_index(i, j, n)] = 0.5 * (X[j][i] + X[i][j])
+        return
     idx = tuple(range(n))
     cache = {}
     det = _det_expand(E, idx, idx, cache)
@@ -233,30 +362,35 @@ def sym_solve_cf(
     mat: jnp.ndarray,
     vec: jnp.ndarray,
     eps=None,
-    block: int = DEFAULT_BLOCK,
+    block: Optional[int] = None,
     interpret: Optional[bool] = None,
-    refine: int = 1,
+    refine: Optional[int] = None,
 ) -> jnp.ndarray:
     r"""Channel-first compact-symmetric solve ``A \ v``:
     ``mat (NN, ...)``, ``vec (N, ...)`` -> ``(N, ...)``.
 
     The Pallas fast path for the north-star op (jitfields
     ``sym_solve``, reference ``sym.py:28-37``). Batch dims after the
-    channel axis are flattened into lanes. N <= 4 only. ``refine`` adds
-    in-register iterative-refinement steps (default 1): free on this
-    memory-bound kernel, tightens the fp32 error tail on
-    ill-conditioned matrices by ~1-2 digits.
+    channel axis are flattened into lanes. N <= 4 solves with the
+    trace-time adjugate; 5 <= N <= 8 with an in-register unrolled
+    pivoted LU (jitfields' kernels had no N cap). ``refine`` adds
+    in-register iterative-refinement steps (default 1 for N <= 4 —
+    free on this memory-bound kernel, tightens the fp32 error tail on
+    ill-conditioned matrices by ~1-2 digits — and 0 for the
+    backward-stable LU path, where a step re-solves from scratch).
     """
-    mat = jnp.asarray(mat)
-    vec = jnp.asarray(vec)
+    mat, vec, half = upcast_half(mat, vec)
     n = vec.shape[0]
     if mat.shape[0] != compact_size(n):
         raise ValueError(
             f"channel-first sym_solve expects mat ({compact_size(n)}, ...) "
             f"for vec ({n}, ...); got {mat.shape[0]}"
         )
-    if n > 4:
-        raise ValueError("pallas sym_solve_cf implements N <= 4")
+    if n > MAX_N:
+        raise ValueError(f"pallas sym_solve_cf implements N <= {MAX_N}")
+    block = _default_block(n, block)
+    if refine is None:
+        refine = 1 if n <= 4 else 0
     if interpret is None:
         interpret = _interpret_default()
     batch_shape = np.broadcast_shapes(mat.shape[1:], vec.shape[1:])
@@ -267,7 +401,7 @@ def sym_solve_cf(
     v2 = vec.reshape(n, -1)
     out = _solve_cf(m2, v2, _prep_eps(eps, n, dtype), block, bool(interpret),
                     int(refine))
-    return out.reshape(n, *batch_shape)
+    return _downcast(out.reshape(n, *batch_shape), half)
 
 
 # --- matvec ----------------------------------------------------------------
@@ -308,8 +442,7 @@ def sym_matvec_cf(
 ) -> jnp.ndarray:
     """Channel-first compact-symmetric matvec ``A @ v``:
     ``mat (NN, ...)``, ``vec (N, ...)`` -> ``(N, ...)`` (Pallas)."""
-    mat = jnp.asarray(mat)
-    vec = jnp.asarray(vec)
+    mat, vec, half = upcast_half(mat, vec)
     n = vec.shape[0]
     if mat.shape[0] != compact_size(n):
         raise ValueError(
@@ -324,7 +457,7 @@ def sym_matvec_cf(
     vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
     out = _matvec_cf(mat.reshape(mat.shape[0], -1), vec.reshape(n, -1),
                      block, bool(interpret))
-    return out.reshape(n, *batch_shape)
+    return _downcast(out.reshape(n, *batch_shape), half)
 
 
 # --- invert ----------------------------------------------------------------
@@ -373,22 +506,25 @@ _invert_cf.defvjp(_invert_cf_fwd, _invert_cf_bwd)
 
 def sym_invert_cf(
     mat: jnp.ndarray,
-    block: int = DEFAULT_BLOCK,
+    block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Channel-first compact-symmetric inverse ``(NN, ...) -> (NN, ...)``
-    (Pallas; N <= 4), with a hand-derived compact-cotangent VJP."""
-    mat = jnp.asarray(mat)
+    (Pallas; adjugate N <= 4, in-register unrolled pivoted LU against
+    identity columns for 5 <= N <= 8), with a hand-derived
+    compact-cotangent VJP."""
+    mat, half = upcast_half(mat)
     nn = mat.shape[0]
     n = sym_dim(nn)
-    if n > 4:
-        raise ValueError("pallas sym_invert_cf implements N <= 4")
+    if n > MAX_N:
+        raise ValueError(f"pallas sym_invert_cf implements N <= {MAX_N}")
+    block = _default_block(n, block)
     if interpret is None:
         interpret = _interpret_default()
     batch_shape = mat.shape[1:]
     m2 = mat.reshape(nn, -1)
     out = _invert_cf(m2, block, bool(interpret))
-    return out.reshape(nn, *batch_shape)
+    return _downcast(out.reshape(nn, *batch_shape), half)
 
 
 # --- fused accumulate matvec (jitfields sym_addmatvec / sym_submatvec) ------
@@ -433,9 +569,7 @@ _accmatvec_cf.defvjp(_accmatvec_cf_fwd, _accmatvec_cf_bwd)
 
 
 def _accmatvec_public(acc, mat, vec, sign, block, interpret, name):
-    acc = jnp.asarray(acc)
-    mat = jnp.asarray(mat)
-    vec = jnp.asarray(vec)
+    acc, mat, vec, half = upcast_half(acc, mat, vec)
     n = vec.shape[0]
     if mat.shape[0] != compact_size(n):
         raise ValueError(
@@ -452,7 +586,7 @@ def _accmatvec_public(acc, mat, vec, sign, block, interpret, name):
     vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
     out = _accmatvec_cf(acc.reshape(n, -1), mat.reshape(mat.shape[0], -1),
                         vec.reshape(n, -1), sign, block, bool(interpret))
-    return out.reshape(n, *batch_shape)
+    return _downcast(out.reshape(n, *batch_shape), half)
 
 
 def sym_addmatvec_cf(
@@ -537,13 +671,13 @@ def sym_outer_cf(
     Native-tier analog of :func:`fastmath_tpu.ops.sym.sym_outer`
     (reference ``_impl/sym.py:496-528``).
     """
-    x = jnp.asarray(x)
+    x, half = upcast_half(x)
     n = x.shape[0]
     if interpret is None:
         interpret = _interpret_default()
     batch_shape = x.shape[1:]
     out = _outer_cf(x.reshape(n, -1), block, bool(interpret))
-    return out.reshape(compact_size(n), *batch_shape)
+    return _downcast(out.reshape(compact_size(n), *batch_shape), half)
 
 
 # --- compact determinant ----------------------------------------------------
@@ -606,7 +740,7 @@ def sym_det_cf(
     Native-tier analog of :func:`fastmath_tpu.ops.sym.sym_det`
     (reference ``_impl/sym.py:401-452``).
     """
-    mat = jnp.asarray(mat)
+    mat, half = upcast_half(mat)
     nn = mat.shape[0]
     n = sym_dim(nn)
     if n > 4:
@@ -615,7 +749,7 @@ def sym_det_cf(
         interpret = _interpret_default()
     batch_shape = mat.shape[1:]
     out = _det_sym_cf(mat.reshape(nn, -1), block, bool(interpret))
-    return out.reshape(batch_shape)
+    return _downcast(out.reshape(batch_shape), half)
 
 
 # --- congruence product J^T H J (jhj) ---------------------------------------
@@ -723,8 +857,7 @@ def sym_matmul_cf(
     (reference jhj kernels, ``_impl/sym.py:637-670``), with a
     hand-derived compact-cotangent VJP.
     """
-    j = jnp.asarray(j)
-    h = jnp.asarray(h)
+    j, h, half = upcast_half(j, h)
     k = sym_dim(h.shape[0])
     if j.shape[0] % k:
         raise ValueError(
@@ -741,4 +874,4 @@ def sym_matmul_cf(
     h = jnp.broadcast_to(h.astype(dtype), (h.shape[0], *batch_shape))
     out = _jhj_cf(j.reshape(j.shape[0], -1), h.reshape(h.shape[0], -1),
                   d, block, bool(interpret))
-    return out.reshape(compact_size(d), *batch_shape)
+    return _downcast(out.reshape(compact_size(d), *batch_shape), half)

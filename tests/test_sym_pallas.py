@@ -20,7 +20,7 @@ def random_sym_cf(rng, b, n, dtype=np.float64, spd=True):
     return full, np.ascontiguousarray(compact.T)  # (NN, B)
 
 
-NS = [1, 2, 3, 4]
+NS = [1, 2, 3, 4, 5, 6, 8]  # 5..8 exercise the in-register PLU tier
 
 
 @pytest.mark.parametrize("n", NS)
@@ -50,6 +50,64 @@ def test_invert_cf(n, rng):
     got_cf = np.asarray(sym_invert_cf(jnp.asarray(mat_cf), block=256))
     got = np.asarray(sym_to_full(jnp.asarray(got_cf.T)))
     np.testing.assert_allclose(got, np.linalg.inv(full), rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [5, 7, 8])
+def test_solve_cf_indefinite_pivoting(n, rng):
+    """The PLU tier must handle indefinite symmetric matrices (partial
+    pivoting), not just SPD — jitfields' solve had no SPD assumption."""
+    b = 160
+    q, _ = np.linalg.qr(rng.standard_normal((b, n, n)))
+    w = rng.uniform(0.5, 3.0, (b, n)) * np.where(
+        rng.standard_normal((b, n)) > 0, 1.0, -1.0
+    )
+    full = np.einsum("...ik,...k,...jk->...ij", q, w, q)
+    mat_cf = np.ascontiguousarray(
+        np.asarray(full_to_sym(jnp.asarray(full))).T
+    )
+    vec = rng.standard_normal((b, n))
+    got = np.asarray(
+        sym_solve_cf(jnp.asarray(mat_cf), jnp.asarray(vec.T), block=256)
+    ).T
+    want = np.linalg.solve(full, vec[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-9)
+
+
+def test_solve_cf_refine_plu(rng):
+    """refine > 0 on the PLU tier re-solves the residual."""
+    full, mat_cf = random_sym_cf(rng, 64, 6)
+    vec = rng.standard_normal((64, 6))
+    got = np.asarray(
+        sym_solve_cf(jnp.asarray(mat_cf), jnp.asarray(vec.T), block=256,
+                     refine=1)
+    ).T
+    want = np.linalg.solve(full, vec[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-11)
+
+
+def test_solve_grad_plu(rng):
+    """Solve VJP on the N=6 PLU tier vs finite differences."""
+    full, mat_cf = random_sym_cf(rng, 5, 6)
+    vec = rng.standard_normal((5, 6))
+    mat_j = jnp.asarray(mat_cf)
+    vec_j = jnp.asarray(vec.T)
+    co = jnp.asarray(rng.standard_normal(vec.T.shape))
+
+    def loss(m, v):
+        return jnp.sum(co * sym_solve_cf(m, v, block=256))
+
+    gm, gv = jax.grad(loss, argnums=(0, 1))(mat_j, vec_j)
+    h = 1e-6
+    for idx in [(0, 1), (7, 3), (20, 4)]:
+        e = jnp.zeros_like(mat_j).at[idx].set(h)
+        fd = (loss(mat_j + e, vec_j) - loss(mat_j - e, vec_j)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(gm[idx]), np.asarray(fd),
+                                   rtol=1e-4, atol=1e-7)
+    for idx in [(0, 0), (5, 2)]:
+        e = jnp.zeros_like(vec_j).at[idx].set(h)
+        fd = (loss(mat_j, vec_j + e) - loss(mat_j, vec_j - e)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(gv[idx]), np.asarray(fd),
+                                   rtol=1e-4, atol=1e-7)
 
 
 def test_solve_eps(rng):
