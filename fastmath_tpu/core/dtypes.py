@@ -12,7 +12,40 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["eps", "as_float", "result_real_dtype", "promote_transform_dtype"]
+__all__ = [
+    "eps",
+    "as_float",
+    "result_real_dtype",
+    "promote_transform_dtype",
+    "upcast_half",
+]
+
+_HALF_DTYPES = (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16))
+
+
+def upcast_half(*arrays):
+    """bf16/f16 internal-compute contract for the linalg tier: upcast
+    half-precision inputs to float32 and report the dtype to cast the
+    result back to.
+
+    Returns ``(*arrays, half)`` where ``half`` is the common half dtype
+    (``None`` when nothing was upcast — the caller returns results
+    unchanged). Closed-form adjugate/LU arithmetic in bf16 loses all
+    significance (8-bit mantissa through an O(n^3) cancellation chain),
+    so the public ops compute in f32 and round once on the way out —
+    the same contract as ``ops.special._upcast`` (BASELINE configs[3])
+    extended to configs[0]/[2].
+    """
+    arrays = [jnp.asarray(a) for a in arrays]
+    halfs = {a.dtype for a in arrays if a.dtype in _HALF_DTYPES}
+    if not halfs:
+        return (*arrays, None)
+    out = halfs.pop() if len(halfs) == 1 else jnp.dtype(jnp.float32)
+    arrays = [
+        a.astype(jnp.float32) if a.dtype in _HALF_DTYPES else a
+        for a in arrays
+    ]
+    return (*arrays, None if out == jnp.dtype(jnp.float32) else out)
 
 
 def eps(dtype) -> float:

@@ -26,7 +26,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.dtypes import upcast_half  # bf16/f16 -> f32 compute contract
 from .sym import _det_expand  # shared trace-time Laplace expansion
+
+
+def _downcast(x, half):
+    return x if half is None else x.astype(half)
 
 __all__ = [
     "batchdet",
@@ -141,21 +146,21 @@ def batchdet(a: jnp.ndarray) -> jnp.ndarray:
     n <= 8, ``jnp.linalg.det`` beyond. Reference analog:
     ``_impl/batched.py:21-64``.
     """
-    a = jnp.asarray(a)
+    a, half = upcast_half(a)
     n = a.shape[-1]
     if a.shape[-2] != n:
         raise ValueError("batchdet expects square matrices")
     if n > LU_UNROLL_MAX:
-        return jnp.linalg.det(a)
+        return _downcast(jnp.linalg.det(a), half)
     if n > _CLOSED_FORM_MAX:
         lu, _, parity = _plu_unrolled(a)
         det = lu[..., 0, 0]
         for i in range(1, n):
             det = det * lu[..., i, i]
-        return det * parity
+        return _downcast(det * parity, half)
     E = _full_entries(a, n)
     idx = tuple(range(n))
-    return _det_expand(E, idx, idx, {})
+    return _downcast(_det_expand(E, idx, idx, {}), half)
 
 
 def batchinv(a: jnp.ndarray, regularize: bool = False) -> jnp.ndarray:
@@ -167,16 +172,16 @@ def batchinv(a: jnp.ndarray, regularize: bool = False) -> jnp.ndarray:
     determinant smoothing (``_impl/batched.py:74-77,93-96``); default off.
     Reference analog: ``_impl/batched.py:67-151``.
     """
-    a = jnp.asarray(a)
+    a, half = upcast_half(a)
     n = a.shape[-1]
     if a.shape[-2] != n:
         raise ValueError("batchinv expects square matrices")
     if n > LU_UNROLL_MAX:
-        return jnp.linalg.inv(a)
+        return _downcast(jnp.linalg.inv(a), half)
     if n > _CLOSED_FORM_MAX:
         lu, perm, _ = _plu_unrolled(a)
         eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
-        return _lu_solve_unrolled(lu, perm, eye)
+        return _downcast(_lu_solve_unrolled(lu, perm, eye), half)
     E = _full_entries(a, n)
     idx = tuple(range(n))
     cache = {}
@@ -195,7 +200,7 @@ def batchinv(a: jnp.ndarray, regularize: bool = False) -> jnp.ndarray:
             cof = -minor if (i + j) % 2 else minor
             row.append(cof * inv_det)
         rows.append(jnp.stack(row, axis=-1))
-    return jnp.stack(rows, axis=-2)
+    return _downcast(jnp.stack(rows, axis=-2), half)
 
 
 def batchmatvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
@@ -205,8 +210,7 @@ def batchmatvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
     einsum (MXU) beyond — the reference falls back to ``sugar.matvec``
     the same way (``_impl/batched.py:154-186``). Handles non-square.
     """
-    mat = jnp.asarray(mat)
-    vec = jnp.asarray(vec)
+    mat, vec, half = upcast_half(mat, vec)
     m, n = mat.shape[-2:]
     if vec.shape[-1] != n:
         raise ValueError(f"matvec shape mismatch: {mat.shape} @ {vec.shape}")
@@ -217,8 +221,9 @@ def batchmatvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
             for j in range(1, n):
                 acc = acc + mat[..., i, j] * vec[..., j]
             rows.append(acc)
-        return jnp.stack(rows, axis=-1)
-    return jnp.einsum("...ij,...j->...i", mat, vec, precision="highest")
+        return _downcast(jnp.stack(rows, axis=-1), half)
+    out = jnp.einsum("...ij,...j->...i", mat, vec, precision="highest")
+    return _downcast(out, half)
 
 
 def batchmatmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -234,14 +239,13 @@ def batchmatmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     2.4e6 -> 2.6e7 expm/s, ``BENCH_MEASURED.md``), so this build
     resurrects it and routes ``lie.expm``/``logm`` through it.
     """
-    a = jnp.asarray(a)
-    b = jnp.asarray(b)
+    a, b, half = upcast_half(a, b)
     m, k = a.shape[-2:]
     k2, n = b.shape[-2:]
     if k != k2:
         raise ValueError(f"matmul shape mismatch: {a.shape} @ {b.shape}")
     if max(m, k, n) > _MATMUL_UNROLL_MAX:
-        return jnp.matmul(a, b, precision="highest")
+        return _downcast(jnp.matmul(a, b, precision="highest"), half)
     rows = []
     for i in range(m):
         row = []
@@ -251,7 +255,7 @@ def batchmatmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
                 acc = acc + a[..., i, kk] * b[..., kk, j]
             row.append(acc)
         rows.append(jnp.stack(row, axis=-1))
-    return jnp.stack(rows, axis=-2)
+    return _downcast(jnp.stack(rows, axis=-2), half)
 
 
 def batchlmdiv(
@@ -265,15 +269,14 @@ def batchlmdiv(
     (North-star extension; the reference routes this through
     ``sugar.lmdiv``.)
     """
-    a = jnp.asarray(a)
-    b = jnp.asarray(b)
+    a, b, half = upcast_half(a, b)
     n = a.shape[-1]
     vector_rhs = b.ndim == a.ndim - 1
     if n <= _CLOSED_FORM_MAX:
         inv = batchinv(a, regularize=regularize)
         if vector_rhs:
-            return batchmatvec(inv, b)
-        return batchmatmul(inv, b)
+            return _downcast(batchmatvec(inv, b), half)
+        return _downcast(batchmatmul(inv, b), half)
     if n <= LU_UNROLL_MAX:
         nb = b.ndim - (1 if vector_rhs else 2)
         bshape = np.broadcast_shapes(a.shape[:-2], b.shape[:nb])
@@ -281,10 +284,10 @@ def batchlmdiv(
             jnp.broadcast_to(a, bshape + a.shape[-2:])
         )
         b = jnp.broadcast_to(b, bshape + b.shape[nb:])
-        return _lu_solve_unrolled(lu, perm, b)
+        return _downcast(_lu_solve_unrolled(lu, perm, b), half)
     if vector_rhs:
-        return jnp.linalg.solve(a, b[..., None])[..., 0]
-    return jnp.linalg.solve(a, b)
+        return _downcast(jnp.linalg.solve(a, b[..., None])[..., 0], half)
+    return _downcast(jnp.linalg.solve(a, b), half)
 
 
 def batchrmdiv(
@@ -306,10 +309,10 @@ def batchchol(a: jnp.ndarray) -> jnp.ndarray:
     ``jnp.linalg.cholesky`` beyond. (North-star extension,
     ``BASELINE.json`` configs[2].)
     """
-    a = jnp.asarray(a)
+    a, half = upcast_half(a)
     n = a.shape[-1]
     if n > _CHOL_UNROLL_MAX:
-        return jnp.linalg.cholesky(a)
+        return _downcast(jnp.linalg.cholesky(a), half)
     E = _full_entries(a, n)
     L = [[None] * n for _ in range(n)]
     zero = jnp.zeros_like(E[0][0])
@@ -328,7 +331,7 @@ def batchchol(a: jnp.ndarray) -> jnp.ndarray:
         jnp.stack([L[i][j] if j <= i else zero for j in range(n)], axis=-1)
         for i in range(n)
     ]
-    return jnp.stack(rows, axis=-2)
+    return _downcast(jnp.stack(rows, axis=-2), half)
 
 
 def batchlogdet(a: jnp.ndarray) -> jnp.ndarray:
@@ -337,17 +340,17 @@ def batchlogdet(a: jnp.ndarray) -> jnp.ndarray:
     Closed form via the n <= 4 determinant, unrolled pivoted LU for
     n <= 8, ``jnp.linalg.slogdet`` beyond. (North-star extension, ``BASELINE.json`` configs[2].)
     """
-    a = jnp.asarray(a)
+    a, half = upcast_half(a)
     n = a.shape[-1]
     if n <= _CLOSED_FORM_MAX:
-        return jnp.log(jnp.abs(batchdet(a)))
+        return _downcast(jnp.log(jnp.abs(batchdet(a))), half)
     if n <= LU_UNROLL_MAX:
         lu, _, _ = _plu_unrolled(a)
         acc = jnp.log(jnp.abs(lu[..., 0, 0]))
         for i in range(1, n):
             acc = acc + jnp.log(jnp.abs(lu[..., i, i]))
-        return acc
-    return jnp.linalg.slogdet(a)[1]
+        return _downcast(acc, half)
+    return _downcast(jnp.linalg.slogdet(a)[1], half)
 
 
 def _chol_solve_unrolled(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

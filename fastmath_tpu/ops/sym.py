@@ -68,6 +68,12 @@ _CLOSED_FORM_MAX = 4
 # N <= this uses unrolled elementwise matvec; above, densify + MXU matmul.
 _UNROLL_MATVEC_MAX = 8
 
+from ..core.dtypes import upcast_half  # bf16/f16 -> f32 compute contract
+
+
+def _downcast(x, half):
+    return x if half is None else x.astype(half)
+
 
 def _entries(mat: jnp.ndarray, n: int):
     """Full-matrix view of compact storage as an n x n grid of lazy
@@ -167,28 +173,28 @@ def sym_matvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
 
     ``mat`` has shape ``(..., NN)`` with ``NN`` in ``{1, N, N(N+1)/2,
     N*N}`` (see :func:`fastmath_tpu.layouts.classify_layout`); ``vec`` has
-    shape ``(..., N)``. Batch dims broadcast. Reference analog:
+    shape ``(..., N)``. Batch dims broadcast. bf16/f16 inputs compute
+    in f32 and round once on output. Reference analog:
     ``_impl/sym.py:134-175`` + jitfields ``sym_matvec``.
     """
-    mat = jnp.asarray(mat)
-    vec = jnp.asarray(vec)
+    mat, vec, half = upcast_half(mat, vec)
     n = vec.shape[-1]
     layout = classify_layout(mat.shape[-1], n)
-    if layout is MatrixLayout.SCALED_IDENTITY:
-        return mat * vec
-    if layout is MatrixLayout.DIAGONAL:
-        return mat * vec
+    if layout is MatrixLayout.SCALED_IDENTITY or layout is MatrixLayout.DIAGONAL:
+        return _downcast(mat * vec, half)
     if layout is MatrixLayout.FULL:
         full = mat.reshape(*mat.shape[:-1], n, n)
-        return jnp.einsum("...ij,...j->...i", full, vec, precision="highest")
-    return _compact_matvec(mat, vec, n)
+        out = jnp.einsum("...ij,...j->...i", full, vec, precision="highest")
+        return _downcast(out, half)
+    return _downcast(_compact_matvec(mat, vec, n), half)
 
 
 def sym_addmatvec(
     acc: jnp.ndarray, mat: jnp.ndarray, vec: jnp.ndarray
 ) -> jnp.ndarray:
     """``acc + A @ v`` (fused accumulate; jitfields ``sym_addmatvec``)."""
-    return jnp.asarray(acc) + sym_matvec(mat, vec)
+    acc, mat, vec, half = upcast_half(acc, mat, vec)
+    return _downcast(acc + sym_matvec(mat, vec), half)
 
 
 def sym_submatvec(
@@ -196,7 +202,8 @@ def sym_submatvec(
 ) -> jnp.ndarray:
     """``acc - A @ v`` (fused subtract-accumulate; jitfields
     ``sym_submatvec``)."""
-    return jnp.asarray(acc) - sym_matvec(mat, vec)
+    acc, mat, vec, half = upcast_half(acc, mat, vec)
+    return _downcast(acc - sym_matvec(mat, vec), half)
 
 
 # ---------------------------------------------------------------------------
@@ -225,10 +232,14 @@ def sym_solve(
     adds a smoothing term to the diagonal before solving. Reference
     analog: ``_impl/sym.py:327-398`` + jitfields ``sym_solve``. Unlike
     the reference (no autograd, ``_impl/sym.py:333``), this is fully
-    differentiable.
+    differentiable. bf16/f16 inputs compute in f32 and round once on
+    output (closed-form solves lose all significance in half precision).
     """
-    mat = jnp.asarray(mat)
-    vec = jnp.asarray(vec)
+    mat, vec, half = upcast_half(mat, vec)
+    return _downcast(_sym_solve_impl(mat, vec, eps), half)
+
+
+def _sym_solve_impl(mat, vec, eps):
     n = vec.shape[-1]
     dtype = jnp.result_type(mat, vec)
     mat = mat.astype(dtype)
@@ -299,11 +310,11 @@ def sym_det(mat: jnp.ndarray) -> jnp.ndarray:
     Closed form (trace-time Laplace expansion) for N <= 4; densify +
     ``jnp.linalg.det`` beyond. Reference analog: ``_impl/sym.py:401-452``.
     """
-    mat = jnp.asarray(mat)
+    mat, half = upcast_half(mat)
     n = sym_dim(mat.shape[-1])
     if n <= _CLOSED_FORM_MAX:
-        return _det_full(_entries(mat, n), n)
-    return jnp.linalg.det(sym_to_full(mat, n))
+        return _downcast(_det_full(_entries(mat, n), n), half)
+    return _downcast(jnp.linalg.det(sym_to_full(mat, n)), half)
 
 
 def sym_invert(mat: jnp.ndarray, diag: bool = False) -> jnp.ndarray:
@@ -314,7 +325,11 @@ def sym_invert(mat: jnp.ndarray, diag: bool = False) -> jnp.ndarray:
     solves against identity columns; here: direct cofactor/adjugate for
     N <= 4, one batched full inverse beyond).
     """
-    mat = jnp.asarray(mat)
+    mat, half = upcast_half(mat)
+    return _downcast(_sym_invert_impl(mat, diag), half)
+
+
+def _sym_invert_impl(mat, diag):
     n = sym_dim(mat.shape[-1])
     if n <= _CLOSED_FORM_MAX:
         E = _entries(mat, n)
@@ -348,13 +363,13 @@ def sym_invert(mat: jnp.ndarray, diag: bool = False) -> jnp.ndarray:
 def sym_outer(x: jnp.ndarray) -> jnp.ndarray:
     """Symmetric outer product ``x @ x.T`` in compact storage
     ``(..., N) -> (..., N(N+1)/2)``. Reference: ``_impl/sym.py:496-528``."""
-    x = jnp.asarray(x)
+    x, half = upcast_half(x)
     n = x.shape[-1]
     parts = [x[..., i] * x[..., i] for i in range(n)]
     for i in range(n):
         for j in range(i + 1, n):
             parts.append(x[..., i] * x[..., j])
-    return jnp.stack(parts, axis=-1)
+    return _downcast(jnp.stack(parts, axis=-1), half)
 
 
 _JHJ_UNROLL_MAX = 6
@@ -371,8 +386,7 @@ def sym_matmul(j: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     densify + einsum beyond (MXU-friendly for large K/D).
     Reference analog: ``_impl/sym.py:637-670`` (jhj kernels).
     """
-    j = jnp.asarray(j)
-    h = jnp.asarray(h)
+    j, h, half = upcast_half(j, h)
     k = j.shape[-2]
     if h.shape[-1] != compact_size(k):
         raise ValueError(
@@ -404,10 +418,10 @@ def sym_matmul(j: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
                 for a in range(1, k):
                     acc = acc + J[a][i] * HJ[a][jj]
                 parts.append(acc)
-        return jnp.stack(parts, axis=-1)
+        return _downcast(jnp.stack(parts, axis=-1), half)
     h_full = sym_to_full(h, k)
     out_full = jnp.einsum("...ki,...kl,...lj->...ij", j, h_full, j, precision="highest")
-    return full_to_sym(out_full)
+    return _downcast(full_to_sym(out_full), half)
 
 
 # functional aliases for the reference's in-place variants
