@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import BATCH_AXIS
 
-__all__ = ["shard_batch", "shard_reduce", "trapprox_sharded"]
+__all__ = ["shard_batch", "shard_reduce", "trapprox_sharded", "donating"]
 
 
 def shard_batch(
@@ -176,3 +176,24 @@ def trapprox_sharded(
         body, mesh=mesh, in_specs=(P(mesh_axis),), out_specs=P()
     )(keys)
     return t[0] if no_moments else t
+
+
+def donating(fn: Callable, argnums=(0,), **jit_kwargs):
+    """``jit`` with buffer donation — the TPU-native realization of the
+    reference's in-place ``_``-suffixed variants (jitfields
+    ``sym_solve_`` / ``sym_addmatvec_`` etc., reference ``sym.py:28-35``;
+    SURVEY.md §2 parallelism row 3, "host staging / donation policy").
+
+    The donated operands' HBM is aliased to the outputs by XLA
+    (``input_output_alias`` in the compiled executable), so e.g. a
+    1M-batch ``sym_solve_`` overwrites the RHS buffer instead of
+    allocating a second vector batch::
+
+        solve_ = donating(fastmath_tpu.sym_solve_, argnums=(1,))
+        x = solve_(mat, vec)   # vec's buffer is reused; vec is deleted
+
+    ``argnums`` follows ``jax.jit(donate_argnums=...)`` semantics; a
+    donated input becomes invalid after the call (``.is_deleted()``).
+    Composes with :func:`shard_batch` — donation applies shard-local.
+    """
+    return jax.jit(fn, donate_argnums=argnums, **jit_kwargs)

@@ -123,3 +123,36 @@ def test_shard_batch_pallas_kernel(rng):
     got = np.asarray(fn(cf, v)).T
     want = np.linalg.solve(spd, np.asarray(v).T[..., None])[..., 0]
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+def test_donating_reuses_buffer():
+    """The donation recipe (reference's in-place `_` variants,
+    SURVEY §2 parallelism row 3): the donated operand is aliased to the
+    output in the compiled executable and invalidated after the call."""
+    import jax
+    import jax.numpy as jnp
+    from fastmath_tpu.ops.sym import sym_solve_
+    from fastmath_tpu.parallel import donating
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1024, 4, 4)).astype(np.float32)
+    spd = np.einsum("...ij,...kj->...ik", a, a) + 4 * np.eye(
+        4, dtype=np.float32
+    )
+    from fastmath_tpu.layouts import full_to_sym
+
+    mat = jnp.asarray(np.asarray(full_to_sym(jnp.asarray(spd))))
+    vec = jnp.asarray(rng.standard_normal((1024, 4)).astype(np.float32))
+
+    solve_ = donating(sym_solve_, argnums=(1,))
+    # the compiled executable aliases the donated input to the output
+    txt = solve_.lower(mat, vec).compile().as_text()
+    assert "input_output_alias" in txt
+    # np.array(copy=True): np.asarray on a CPU jax array is a
+    # zero-copy view that pins the buffer and blocks donation
+    vec_np = np.array(vec, copy=True)
+    x = solve_(mat, vec)
+    assert vec.is_deleted()  # buffer handed to the output
+    assert not mat.is_deleted()
+    want = np.linalg.solve(spd, vec_np[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), want, rtol=2e-4, atol=2e-5)
