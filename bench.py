@@ -139,7 +139,14 @@ def main():
                 "metric": "1M-batch 4x4 sym_solve throughput (fp32, per chip)",
                 "value": round(ours),
                 "unit": "solves/sec",
+                # basis: the reference's TorchScript closed-form solve on
+                # THIS HOST's torch (single-socket CPU) — the only
+                # reference hardware measurable here. The BASELINE.json
+                # north star (>= 10x H100-TorchScript) cannot be measured
+                # in this environment; do not read this ratio as that one.
                 "vs_baseline": round(vs, 2),
+                "baseline_hw": "torch-cpu (this host), reference "
+                               "TorchScript sym_solve, 200k-batch",
             }
         )
     )

@@ -35,9 +35,18 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def build(force: bool = False) -> bool:
-    """Compile the shared library with g++ (O3, OpenMP when available)."""
+    """Compile the shared library with g++ (O3, OpenMP when available).
+
+    Lazy: runs on the first native *call* (never at import), and
+    rebuilds when ``sym_cpu.cpp`` is newer than the binary. The binary
+    is gitignored — never committed.
+    """
     if _LIB.exists() and not force:
-        return True
+        try:
+            if _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+                return True
+        except OSError:
+            return True
     cmds = [
         ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)],
         ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)],
