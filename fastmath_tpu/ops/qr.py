@@ -152,16 +152,18 @@ def householder_apply(
             us = [u[..., i, :] for i in range(u.shape[-2])]
         else:
             us = [u]
+    # reference order of operations (``_impl/qr.py:76-88``): reverse
+    # the list FIRST when inverse, THEN zip-truncate against k — so
+    # inverse+k applies the *last* len(k) reflectors, in reverse order
+    if inverse:
+        us = us[::-1]
     if k is not None:
         if isinstance(k, range):
             k = list(k)
         n_apply = len(k) if isinstance(k, (list, tuple)) else 1
         us = us[:n_apply]
-    order = list(range(len(us)))
-    if inverse:
-        order = order[::-1]
-    for i in order:
-        uk = jnp.asarray(us[i])
+    for uk in us:
+        uk = jnp.asarray(uk)
         if uk.shape[-1] < n:
             pad = [(0, 0)] * (uk.ndim - 1) + [(n - uk.shape[-1], 0)]
             uk = jnp.pad(uk, pad)

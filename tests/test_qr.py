@@ -166,6 +166,22 @@ def test_householder_apply_k(rng):
     )
     np.testing.assert_allclose(got_range, ref_apply(2), rtol=1e-10,
                                atol=1e-12)
+    # inverse reverses the list BEFORE the k-truncation (reference
+    # ``_impl/qr.py:76-88``): inverse + k=[0] applies only the LAST
+    # reflector
+    got_inv = np.asarray(
+        Q.householder_apply(jnp.asarray(a), us, k=[0], inverse=True)
+    )
+    np.testing.assert_allclose(got_inv, Ps[2] @ a @ Ps[2], rtol=1e-10,
+                               atol=1e-12)
+    # inverse without k applies all reflectors in reverse order
+    got_inv_all = np.asarray(
+        Q.householder_apply(jnp.asarray(a), us, inverse=True)
+    )
+    want = a.copy()
+    for P in Ps[::-1]:
+        want = P @ want @ P
+    np.testing.assert_allclose(got_inv_all, want, rtol=1e-10, atol=1e-12)
 
 
 def test_householder_apply_short_reflectors(rng):
