@@ -1,14 +1,18 @@
-"""DCT / DST types I-III with backward / ortho / forward / ortho_scipy
+"""DCT / DST types I-IV with backward / ortho / forward / ortho_scipy
 norms, 1-D and N-D, plus inverses.
 
 Capability parity with the reference's ``realtransforms`` stack
 (``nitorch_fastmath/realtransforms.py`` + ``_impl/realtransforms*.py``,
-itself adapted from cuPy's scipy port): types 1-3 only (type 4 raises),
-norms ``backward``/``ortho``/``forward`` plus the ``ortho_scipy`` compat
-mode — legacy scipy/cupy "ortho" DST-II/III, which is *not* truly
-orthogonal (reference warning at ``_impl/realtransforms.py:95-99``).
-Inverses are flipped-type + flipped-norm transforms (reference
-``realtransforms_autograd.py:5-11``).
+itself adapted from cuPy's scipy port), plus one documented extension:
+**type 4 is implemented** (the reference raises,
+``_impl/realtransforms.py:8``) — DCT-IV/DST-IV follow the scipy
+definitions, are self-dual under ``fliptype`` (4 -> 4), and their
+``ortho`` form is involutive. Norms: ``backward``/``ortho``/``forward``
+plus the ``ortho_scipy`` compat mode — legacy scipy/cupy "ortho"
+DST-II/III, which is *not* truly orthogonal (reference warning at
+``_impl/realtransforms.py:95-99``; type 4's ortho is truly orthogonal
+in scipy, so the two modes coincide there). Inverses are flipped-type +
+flipped-norm transforms (reference ``realtransforms_autograd.py:5-11``).
 
 TPU-first design, a deliberate departure from the reference's
 FFT-only pipeline:
@@ -58,7 +62,7 @@ __all__ = [
     "idstn",
 ]
 
-_IMPLEMENTED_TYPES = (1, 2, 3)
+_IMPLEMENTED_TYPES = (1, 2, 3, 4)
 
 flipnorm = {
     "forward": "backward",
@@ -114,9 +118,12 @@ def _norm_scales(family: str, type: int, n: int, norm: str):
             dout[0] *= 1 / math.sqrt(2)
         elif type == 3:
             din[0] = math.sqrt(2)
+        # type 4: uniform scaling only (truly orthogonal as-is)
     else:
         # dst1 is naturally orthogonal under uniform scaling; dst2/3 need
         # the endpoint fix that legacy scipy omits
+        # type 4: uniform scaling only (orthogonal in scipy too, so
+        # ortho_scipy == ortho)
         if not scipy_legacy:
             if type == 2:
                 dout[-1] *= 1 / math.sqrt(2)
@@ -145,17 +152,21 @@ def _basis_matrix(family: str, type: int, n: int, norm: str) -> np.ndarray:
             m[:, -1] = np.cos(np.pi * k[:, 0])  # (-1)^k
         elif type == 2:
             m = 2.0 * np.cos(np.pi * k * (2 * j + 1) / (2 * n))
-        else:  # type 3
+        elif type == 3:
             m = 2.0 * np.cos(np.pi * j * (2 * k + 1) / (2 * n))
             m[:, 0] = 1.0
+        else:  # type 4 (extension; scipy definition)
+            m = 2.0 * np.cos(np.pi * (2 * j + 1) * (2 * k + 1) / (4 * n))
     else:
         if type == 1:
             m = 2.0 * np.sin(np.pi * (j + 1) * (k + 1) / (n + 1))
         elif type == 2:
             m = 2.0 * np.sin(np.pi * (k + 1) * (2 * j + 1) / (2 * n))
-        else:  # type 3
+        elif type == 3:
             m = 2.0 * np.sin(np.pi * (j + 1) * (2 * k + 1) / (2 * n))
             m[:, -1] = np.cos(np.pi * k[:, 0])  # (-1)^k
+        else:  # type 4 (extension; scipy definition)
+            m = 2.0 * np.sin(np.pi * (2 * j + 1) * (2 * k + 1) / (4 * n))
     din, dout = _norm_scales(family, type, n, norm)
     m = np.asarray(dout).reshape(-1, 1) * m * np.asarray(din).reshape(1, -1)
     return m
@@ -224,6 +235,30 @@ def _dst3_back_fft(x):
     return _alt_signs(_dct3_back_fft(x[..., ::-1]))
 
 
+def _dct4_back_fft(x):
+    """DCT-IV, backward norm (extension): odd bins of the length-4n FFT
+    of the zero-padded input — X_k = 2 Re[e^{-i pi (2k+1)/(4n)} F_{2k+1}]."""
+    n = x.shape[-1]
+    z = jnp.zeros((*x.shape[:-1], 4 * n), dtype=_complex_dtype(x.dtype))
+    z = z.at[..., :n].set(x.astype(z.dtype))
+    f = jnp.fft.fft(z, axis=-1)[..., 1 : 2 * n : 2]
+    k = jnp.arange(n)
+    tw = jnp.exp(-1j * jnp.pi * (2 * k + 1) / (4 * n))
+    return 2.0 * (f * tw).real.astype(x.dtype)
+
+
+def _dst4_back_fft(x):
+    """DST-IV, backward norm (extension): same odd-bin pipeline with
+    -Im instead of Re."""
+    n = x.shape[-1]
+    z = jnp.zeros((*x.shape[:-1], 4 * n), dtype=_complex_dtype(x.dtype))
+    z = z.at[..., :n].set(x.astype(z.dtype))
+    f = jnp.fft.fft(z, axis=-1)[..., 1 : 2 * n : 2]
+    k = jnp.arange(n)
+    tw = jnp.exp(-1j * jnp.pi * (2 * k + 1) / (4 * n))
+    return -2.0 * (f * tw).imag.astype(x.dtype)
+
+
 def _complex_dtype(real_dtype):
     return jnp.complex64 if jnp.dtype(real_dtype) == jnp.float32 else jnp.complex128
 
@@ -232,9 +267,11 @@ _FFT_BACK = {
     ("dct", 1): _dct1_back_fft,
     ("dct", 2): _dct2_back_fft,
     ("dct", 3): _dct3_back_fft,
+    ("dct", 4): _dct4_back_fft,
     ("dst", 1): _dst1_back_fft,
     ("dst", 2): _dst2_back_fft,
     ("dst", 3): _dst3_back_fft,
+    ("dst", 4): _dst4_back_fft,
 }
 
 
@@ -262,7 +299,7 @@ def _transform_last(x, family: str, type: int, norm: str):
 
 def _transform(x, family: str, type: int, dim: int, norm: str):
     if type not in _IMPLEMENTED_TYPES:
-        raise ValueError(f"{family.upper()} only implemented for types I-III")
+        raise ValueError(f"{family.upper()} only implemented for types I-IV")
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         re = _transform(x.real, family, type, dim, norm)
@@ -284,8 +321,9 @@ def _transform(x, family: str, type: int, dim: int, norm: str):
 
 
 def dct(x, dim: int = -1, norm: str = "backward", type: int = 2):
-    """Discrete Cosine Transform, types I-III (reference
-    ``_impl/realtransforms.py:11-45``)."""
+    """Discrete Cosine Transform, types I-IV (reference
+    ``_impl/realtransforms.py:11-45``; type 4 is an extension — the
+    reference raises on it)."""
     if dim is None:
         dim = -1
     return _transform(x, "dct", type, dim, norm or "backward")
@@ -300,9 +338,10 @@ def idct(x, dim: int = -1, norm: str = "backward", type: int = 2):
 
 
 def dst(x, dim: int = -1, norm: str = "backward", type: int = 2):
-    """Discrete Sine Transform, types I-III. ``norm='ortho'`` is truly
-    orthogonal; use ``norm='ortho_scipy'`` for legacy scipy/cupy
-    behavior (reference ``_impl/realtransforms.py:84-126``)."""
+    """Discrete Sine Transform, types I-IV (type 4 is an extension —
+    the reference raises on it). ``norm='ortho'`` is truly orthogonal;
+    use ``norm='ortho_scipy'`` for legacy scipy/cupy behavior
+    (reference ``_impl/realtransforms.py:84-126``)."""
     if dim is None:
         dim = -1
     return _transform(x, "dst", type, dim, norm or "backward")

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import fastmath_tpu.ops.realtransforms as RT
 
 FAMILIES = ["dct", "dst"]
-TYPES = [1, 2, 3]
+TYPES = [1, 2, 3, 4]  # type 4 is this build's extension (reference raises)
 NORMS = ["backward", "ortho", "forward", "ortho_scipy"]
 DIMS = [-1, 0, 1]
 
@@ -94,11 +94,13 @@ def test_fft_path_matches_matmul(fam, type, rng, monkeypatch):
     np.testing.assert_allclose(got_fft, got_mm, rtol=1e-9, atol=1e-10)
 
 
-def test_type4_raises():
+def test_invalid_type_raises():
+    # type 4 is implemented here (extension over the reference, which
+    # raises on it); anything outside 1-4 must still raise
     with pytest.raises(ValueError):
-        RT.dct(jnp.zeros(4), type=4)
+        RT.dct(jnp.zeros(4), type=5)
     with pytest.raises(ValueError):
-        RT.dst(jnp.zeros(4), type=4)
+        RT.dst(jnp.zeros(4), type=0)
 
 
 def test_complex_input(rng):
@@ -161,3 +163,29 @@ def test_beyond_gate_fft_path(rng):
     got = np.asarray(RT.dct(jnp.asarray(x), norm="ortho"))
     want = sfft.dct(x, norm="ortho")
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("fam", FAMILIES)
+def test_type4_fft_path_matches_matmul(fam, rng):
+    """The odd-bin FFT pipeline (n > MATMUL_MAX_N) agrees with the
+    basis-matmul definition (checked by shrinking the gate)."""
+    x = rng.standard_normal((5, 96))
+    ours = getattr(RT, fam)
+    want = np.asarray(ours(jnp.asarray(x), norm="ortho", type=4))
+    old = RT.MATMUL_MAX_N
+    try:
+        RT.MATMUL_MAX_N = 8
+        got = np.asarray(ours(jnp.asarray(x), norm="ortho", type=4))
+    finally:
+        RT.MATMUL_MAX_N = old
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("fam", FAMILIES)
+def test_type4_ortho_involutive(fam, rng):
+    """DCT-IV/DST-IV with ortho norm are their own inverses."""
+    x = rng.standard_normal((4, 33))
+    ours = getattr(RT, fam)
+    y = ours(jnp.asarray(x), norm="ortho", type=4)
+    back = np.asarray(ours(y, norm="ortho", type=4))
+    np.testing.assert_allclose(back, x, rtol=1e-11, atol=1e-12)
