@@ -117,8 +117,10 @@ def _plu_grid(E, R, n):
     (first-max tie-break) and ``jnp.where`` row swaps — no gathers, so
     the whole factorization stays lane-parallel VPU work (the register
     analog of ``ops.batched._plu_unrolled``). ``E`` and ``R`` are
-    mutated; afterwards ``E`` holds U on/above the diagonal.
+    mutated; afterwards ``E`` holds U on/above the diagonal. Returns
+    the permutation parity per lane (used by the determinant kernels).
     """
+    parity = None
     for k in range(n):
         if k < n - 1:
             m = jnp.abs(E[k][k])
@@ -132,6 +134,8 @@ def _plu_grid(E, R, n):
                     hit = hit & ~taken
                 taken = hit if taken is None else taken | hit
                 piv.append(hit)
+            flip = jnp.where(piv[0], 1.0, -1.0)
+            parity = flip if parity is None else parity * flip
             old_k = E[k][:]
             old_kr = R[k][:]
             # pivot row -> row k
@@ -158,6 +162,9 @@ def _plu_grid(E, R, n):
                 E[i][j] = E[i][j] - l * E[k][j]
             for c in range(len(R[i])):
                 R[i][c] = R[i][c] - l * R[k][c]
+    if parity is None:
+        parity = jnp.ones_like(E[0][0])
+    return parity
 
 
 def _plu_grid_solve(E, rhs_cols, n):

@@ -23,14 +23,14 @@ def rand_full_cf(rng, b, n, spd=False):
     return a, cf
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 4])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 8])
 def test_det(n, rng):
     full, cf = rand_full_cf(rng, 300, n)
     got = np.asarray(det_cf(jnp.asarray(cf), block=256))
     np.testing.assert_allclose(got, np.linalg.det(full), rtol=1e-10)
 
 
-@pytest.mark.parametrize("n", [2, 3, 4])
+@pytest.mark.parametrize("n", [2, 3, 4, 5, 7, 8])
 def test_inv(n, rng):
     full, cf = rand_full_cf(rng, 300, n)
     got = np.asarray(inv_cf(jnp.asarray(cf), block=256))
@@ -38,7 +38,7 @@ def test_inv(n, rng):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
 
 
-@pytest.mark.parametrize("n", [2, 3, 4])
+@pytest.mark.parametrize("n", [2, 3, 4, 6, 8])
 def test_matvec_full(n, rng):
     full, cf = rand_full_cf(rng, 300, n)
     v = rng.standard_normal((300, n))
@@ -118,3 +118,21 @@ def test_chol_grad(rng):
     gw = jax.grad(ref_from_compact)(compact)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gw),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_det_grad_plu(rng):
+    """det_cf VJP on the n>4 PLU path (det * inv^T cofactors)."""
+    full, cf = rand_full_cf(rng, 4, 6)
+    cfj = jnp.asarray(cf)
+    co = jnp.asarray(rng.standard_normal(4))
+
+    def loss(m):
+        return jnp.sum(co * det_cf(m, block=256))
+
+    g = jax.grad(loss)(cfj)
+    h = 1e-6
+    for idx in [(0, 1), (17, 2), (35, 3)]:
+        e = jnp.zeros_like(cfj).at[idx].set(h)
+        fd = (loss(cfj + e) - loss(cfj - e)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(g[idx]), np.asarray(fd),
+                                   rtol=1e-4, atol=1e-6)
