@@ -23,6 +23,7 @@ TPU-first design:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,13 +52,15 @@ _CLOSED_FORM_MAX = 4
 _CHOL_UNROLL_MAX = 16
 _MATMUL_UNROLL_MAX = 6
 
-#: Largest n routed through the trace-time unrolled pivoted LU.
-#: Raising it keeps winning on TPU (measured v5e, 100k batch f32:
-#: 12x12 unrolled 3.7e6 inv/s vs 3.5e5 XLA; 16x16 2.2e6 vs 2.7e5)
-#: but the one-time jit compile grows to ~1-3 min at n=16, so the
-#: default stays at 8; set ``fastmath_tpu.ops.batched.LU_UNROLL_MAX =
-#: 16`` before tracing to extend the fast tier.
-LU_UNROLL_MAX = 8
+#: Largest n routed through the fast pivoted-LU tier (the BASELINE
+#: <=16x16 gate). n <= _PLU_UNROLL_N uses the fully trace-time-unrolled
+#: factorization; above it a ``fori_loop``-rolled variant runs the same
+#: one-hot masked elimination with O(1) compile time (the unrolled form
+#: at n=16 took minutes to compile; the rolled one compiles in seconds
+#: and keeps ~the same runtime — the per-step work is identical
+#: elementwise algebra, just not shape-specialized per k).
+LU_UNROLL_MAX = 16
+_PLU_UNROLL_N = 8
 
 
 def _plu_unrolled(a: jnp.ndarray):
@@ -100,6 +103,60 @@ def _plu_unrolled(a: jnp.ndarray):
             )
             a = a.at[..., k + 1 :, k].set(l)
     return a, perm, parity
+
+
+def _plu_rolled(a: jnp.ndarray):
+    """``fori_loop``-rolled batched LU with partial pivoting — the same
+    scatter-free one-hot elimination as :func:`_plu_unrolled`, with the
+    step index ``k`` traced instead of unrolled (O(1) compile time; used
+    for 9 <= n <= 16 where full unrolling takes minutes to compile).
+
+    Returns the same ``(lu, perm, parity)`` packing.
+    """
+    n = a.shape[-1]
+    batch = a.shape[:-2]
+    rows_idx = jnp.arange(n)
+    perm0 = jnp.broadcast_to(rows_idx, (*batch, n)).astype(jnp.int32)
+    parity0 = jnp.ones(batch, dtype=a.dtype)
+
+    def body(k, carry):
+        a, perm, parity = carry
+        ek = (rows_idx == k).astype(a.dtype)  # (n,)
+        below = (rows_idx > k).astype(a.dtype)
+        # column k / pivot search over rows >= k
+        col = jnp.abs(jnp.sum(a * ek[None, :], axis=-1))  # |a[:, k]|
+        col = jnp.where(rows_idx >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)
+        op = (rows_idx == p[..., None]).astype(a.dtype)  # (..., n)
+        row_p = jnp.sum(a * op[..., :, None], axis=-2)
+        row_k = jnp.sum(a * ek[..., :, None], axis=-2)
+        a = a + (ek - op)[..., :, None] * (row_p - row_k)[..., None, :]
+        permp = jnp.sum(perm * op.astype(perm.dtype), axis=-1)
+        permk = jnp.sum(perm * ek.astype(perm.dtype), axis=-1)
+        perm = perm + ((ek - op) * (permp - permk)[..., None]).astype(
+            perm.dtype
+        )
+        parity = parity * jnp.where(p == k, 1.0, -1.0).astype(a.dtype)
+        # elimination of rows > k (masked; trailing columns only)
+        akk = jnp.sum(row_p * ek, axis=-1)  # pivot value (row_p is new row k)
+        lcol = jnp.sum(a * ek[None, :], axis=-1) / akk[..., None]
+        lcol = lcol * below  # zero outside rows > k
+        tail = (rows_idx >= k).astype(a.dtype)  # columns k..n-1
+        a = a - lcol[..., :, None] * (row_p * tail)[..., None, :]
+        # store multipliers in column k of rows > k (the subtraction
+        # left ~0 there; replace exactly)
+        colmask = (below[:, None] * ek[None, :])
+        a = a * (1.0 - colmask) + lcol[..., :, None] * ek[None, :]
+        return a, perm, parity
+
+    return jax.lax.fori_loop(0, n, body, (a, perm0, parity0))
+
+
+def _plu(a: jnp.ndarray):
+    """Dispatch: fully unrolled for n <= _PLU_UNROLL_N, rolled beyond."""
+    if a.shape[-1] <= _PLU_UNROLL_N:
+        return _plu_unrolled(a)
+    return _plu_rolled(a)
 
 
 def _lu_solve_unrolled(lu, perm, b):
@@ -153,7 +210,7 @@ def batchdet(a: jnp.ndarray) -> jnp.ndarray:
     if n > LU_UNROLL_MAX:
         return _downcast(jnp.linalg.det(a), half)
     if n > _CLOSED_FORM_MAX:
-        lu, _, parity = _plu_unrolled(a)
+        lu, _, parity = _plu(a)
         det = lu[..., 0, 0]
         for i in range(1, n):
             det = det * lu[..., i, i]
@@ -179,7 +236,7 @@ def batchinv(a: jnp.ndarray, regularize: bool = False) -> jnp.ndarray:
     if n > LU_UNROLL_MAX:
         return _downcast(jnp.linalg.inv(a), half)
     if n > _CLOSED_FORM_MAX:
-        lu, perm, _ = _plu_unrolled(a)
+        lu, perm, _ = _plu(a)
         eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
         return _downcast(_lu_solve_unrolled(lu, perm, eye), half)
     E = _full_entries(a, n)
@@ -280,7 +337,7 @@ def batchlmdiv(
     if n <= LU_UNROLL_MAX:
         nb = b.ndim - (1 if vector_rhs else 2)
         bshape = np.broadcast_shapes(a.shape[:-2], b.shape[:nb])
-        lu, perm, _ = _plu_unrolled(
+        lu, perm, _ = _plu(
             jnp.broadcast_to(a, bshape + a.shape[-2:])
         )
         b = jnp.broadcast_to(b, bshape + b.shape[nb:])
@@ -345,7 +402,7 @@ def batchlogdet(a: jnp.ndarray) -> jnp.ndarray:
     if n <= _CLOSED_FORM_MAX:
         return _downcast(jnp.log(jnp.abs(batchdet(a))), half)
     if n <= LU_UNROLL_MAX:
-        lu, _, _ = _plu_unrolled(a)
+        lu, _, _ = _plu(a)
         acc = jnp.log(jnp.abs(lu[..., 0, 0]))
         for i in range(1, n):
             acc = acc + jnp.log(jnp.abs(lu[..., i, i]))

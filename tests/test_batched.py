@@ -160,9 +160,11 @@ class TestBatchMatmul:
 
 
 class TestUnrolledPLU:
-    """n in (5..8): trace-time unrolled partially-pivoted LU paths."""
+    """n in (5..8): trace-time unrolled partially-pivoted LU; n in
+    (9..16): the fori_loop-rolled variant (same one-hot elimination,
+    O(1) compile)."""
 
-    @pytest.mark.parametrize("n", [5, 6, 8])
+    @pytest.mark.parametrize("n", [5, 6, 8, 12, 16])
     def test_det_inv_logdet(self, n, rng):
         import jax.numpy as jnp
         from fastmath_tpu.ops.batched import batchdet, batchinv, batchlogdet
@@ -176,7 +178,7 @@ class TestUnrolledPLU:
         np.testing.assert_allclose(np.asarray(batchlogdet(aj)),
                                    np.linalg.slogdet(a)[1], rtol=1e-9)
 
-    @pytest.mark.parametrize("n", [5, 7])
+    @pytest.mark.parametrize("n", [5, 7, 13])
     def test_lmdiv(self, n, rng):
         import jax.numpy as jnp
         from fastmath_tpu.ops.batched import batchlmdiv
