@@ -38,12 +38,16 @@ CEILING = [0.0]  # measured stream bytes/s, filled by main()
 
 
 def honest_time(fn, *args, calls=32):
-    out = fn(*args)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0]))  # compile + warmup
+    # bench.py's exact pattern: the jitted call reduces its result to a
+    # device scalar (so dispatches pipeline deeply through the relay —
+    # returning full arrays serializes and understates ~2x), and the
+    # queue drains at one final scalar fetch.
+    g = jax.jit(lambda *a: sum(jnp.sum(x) for x in jax.tree.leaves(fn(*a))))
+    _ = float(g(*args))  # compile + warmup
     t0 = time.time()
     for _ in range(calls - 1):
-        out = fn(*args)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0]))
+        out = g(*args)
+    _ = float(g(*args))
     return (time.time() - t0) / calls
 
 
@@ -136,6 +140,21 @@ def main():
     med, p99 = rel_err(np.asarray(f(mj[:8192], vj[:8192])), want)
     record("sym_solve 4x4 (XLA, ref layout)", BIG, "f32", BIG, dt, med, p99,
            "solves/s", bytes_per_item=(10 + 4 + 4) * 4)
+
+    # sustained chained-dispatch rate (bench.py's headline): 64
+    # dependent full-batch solves per dispatch amortize the ~1 ms
+    # relay dispatch cost that bounds every single-dispatch row above
+    K = 64
+
+    def chained(m, v0):
+        def body(x, _):
+            return F.sym_solve(m, x) + v0, ()
+        x, _ = jax.lax.scan(body, v0, None, length=K)
+        return x
+
+    dt = honest_time(chained, mj, vj, calls=8)
+    record("sym_solve 4x4 sustained (chain k=64)", BIG, "f32", K * BIG, dt,
+           med, p99, "solves/s", bytes_per_item=(10 + 4 + 4) * 4)
 
     # --- batched inv/det/chol 3x3 & 8x8 -----------------------------------
     # 3x3 at the full 1M batch: smaller batches are relay-overhead
