@@ -153,8 +153,16 @@ def main():
         return x
 
     dt = honest_time(chained, mj, vj, calls=8)
+    # accuracy of the *chained* computation itself (error accumulates
+    # over the K dependent solves): f32 chain vs an f64 numpy chain
+    got_chain = np.asarray(chained(mj[:2048], vj[:2048]), np.float64)
+    xo = vec[:2048].astype(np.float64)
+    a64 = spd[:2048].astype(np.float64)
+    for _ in range(K):
+        xo = np.linalg.solve(a64, xo[..., None])[..., 0] + vec[:2048]
+    medc, p99c = rel_err(got_chain, xo)
     record("sym_solve 4x4 sustained (chain k=64)", BIG, "f32", K * BIG, dt,
-           med, p99, "solves/s", bytes_per_item=(10 + 4 + 4) * 4)
+           medc, p99c, "solves/s", bytes_per_item=(10 + 4 + 4) * 4)
 
     # --- batched inv/det/chol 3x3 & 8x8 -----------------------------------
     # 3x3 at the full 1M batch: smaller batches are relay-overhead

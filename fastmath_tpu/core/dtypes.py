@@ -18,6 +18,7 @@ __all__ = [
     "result_real_dtype",
     "promote_transform_dtype",
     "upcast_half",
+    "downcast",
 ]
 
 _HALF_DTYPES = (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16))
@@ -28,24 +29,36 @@ def upcast_half(*arrays):
     half-precision inputs to float32 and report the dtype to cast the
     result back to.
 
-    Returns ``(*arrays, half)`` where ``half`` is the common half dtype
-    (``None`` when nothing was upcast — the caller returns results
-    unchanged). Closed-form adjugate/LU arithmetic in bf16 loses all
-    significance (8-bit mantissa through an O(n^3) cancellation chain),
-    so the public ops compute in f32 and round once on the way out —
-    the same contract as ``ops.special._upcast`` (BASELINE configs[3])
-    extended to configs[0]/[2].
+    Returns ``(*arrays, half)`` where ``half`` is the dtype to round
+    the result back to (``None`` when the result should stay in the
+    computed dtype). The result dtype follows **JAX promotion over all
+    inputs**: mixed half/full inputs promote to the full precision
+    (an f32 or f64 operand is never silently rounded to half because a
+    bf16 operand sat next to it); only when the promoted result itself
+    is half does the op compute in f32 and round once on the way out.
+    Bool/int inputs promote to the default float (closed-form
+    adjugate/LU arithmetic must run in floating point — integer
+    division truncates silently). Closed forms in bf16 lose all
+    significance (8-bit mantissa through an O(n^3) cancellation
+    chain) — the same contract as ``ops.special._upcast`` (BASELINE
+    configs[3]) extended to configs[0]/[2].
     """
     arrays = [jnp.asarray(a) for a in arrays]
-    halfs = {a.dtype for a in arrays if a.dtype in _HALF_DTYPES}
-    if not halfs:
-        return (*arrays, None)
-    out = halfs.pop() if len(halfs) == 1 else jnp.dtype(jnp.float32)
-    arrays = [
-        a.astype(jnp.float32) if a.dtype in _HALF_DTYPES else a
-        for a in arrays
-    ]
-    return (*arrays, None if out == jnp.dtype(jnp.float32) else out)
+    out = jnp.result_type(*arrays)
+    if not (
+        jnp.issubdtype(out, jnp.floating)
+        or jnp.issubdtype(out, jnp.complexfloating)
+    ):
+        out = jnp.dtype(jnp.result_type(float))
+    if jnp.dtype(out) in _HALF_DTYPES:
+        return (*[a.astype(jnp.float32) for a in arrays], jnp.dtype(out))
+    return (*[a.astype(out) for a in arrays], None)
+
+
+def downcast(x, half):
+    """Round ``x`` back to the ``half`` dtype reported by
+    :func:`upcast_half` (identity when ``half`` is ``None``)."""
+    return x if half is None else x.astype(half)
 
 
 def eps(dtype) -> float:

@@ -31,13 +31,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.dtypes import upcast_half
+from ..core.dtypes import downcast as _downcast, upcast_half
 from ..layouts.sym import compact_size, sym_dim, tri_index
 from ..ops.sym import _adjugate_apply
-
-
-def _downcast(x, half):
-    return x if half is None else x.astype(half)
 
 __all__ = [
     "sym_solve_cf",

@@ -27,12 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.dtypes import upcast_half  # bf16/f16 -> f32 compute contract
+from ..core.dtypes import downcast as _downcast, upcast_half
 from .sym import _det_expand  # shared trace-time Laplace expansion
-
-
-def _downcast(x, half):
-    return x if half is None else x.astype(half)
 
 __all__ = [
     "batchdet",

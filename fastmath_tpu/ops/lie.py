@@ -323,9 +323,13 @@ def _logm_exceptional(A):
       is Hermitian and shares A's eigenvectors, so one batched
       Hermitian Jacobi eigendecomposition recovers them; each
       eigenvalue's principal log is then exact (atan2 branch). ``t``
-      is an irrational-ish constant so distinct eigenvalues of A
-      cannot collide in C (members of a conjugate pair split since
-      their K-parts differ in sign).
+      is an irrational-ish constant so members of a conjugate pair
+      split (their K-parts differ in sign); *distinct* eigenvalues can
+      still collide in C when ``Re l1 + t Im l1 == Re l2 + t Im l2``
+      (eigenspace mixing), so the route is accepted per matrix only
+      when its reconstruction ``V diag(lam) V^H`` matches ``A`` —
+      collisions fall through to the shift route, which handles normal
+      matrices too (just at ~1e-11 instead of ~1e-15).
     * **non-normal**: imaginary spectral shift ``B = A + i*delta*I``
       (moves on-cut eigenvalues onto the principal side), complex ISS,
       then the exact commuting-series correction
@@ -356,6 +360,12 @@ def _logm_exceptional(A):
     Ln = jnp.einsum(
         "...ik,...k,...jk->...ij", V, jnp.log(lam), jnp.conj(V)
     )
+    # accept the diagonalization only where it actually reproduces A
+    # (guards the Re+t*Im eigenvalue-collision case, where V mixes
+    # distinct eigenspaces and the reconstruction visibly fails)
+    recon = jnp.einsum("...ik,...k,...jk->...ij", V, lam, jnp.conj(V))
+    r2 = jnp.sum(jnp.abs(recon - Ac) ** 2, axis=(-2, -1))
+    diag_ok = r2 <= (64 * eps) ** 2 * jnp.maximum(a2, 1e-30)
 
     # (b) shift route
     delta0 = 5e-4 if eps < 1e-10 else 2e-2
@@ -373,7 +383,7 @@ def _logm_exceptional(A):
     nan = jnp.asarray(jnp.nan, cdt) * (1 + 1j)
     Lsh = jnp.where(oks[..., None, None], Lsh, nan)
 
-    return jnp.where(is_normal[..., None, None], Ln, Lsh)
+    return jnp.where((is_normal & diag_ok)[..., None, None], Ln, Lsh)
 
 
 def _logm_impl(mat):

@@ -68,11 +68,7 @@ _CLOSED_FORM_MAX = 4
 # N <= this uses unrolled elementwise matvec; above, densify + MXU matmul.
 _UNROLL_MATVEC_MAX = 8
 
-from ..core.dtypes import upcast_half  # bf16/f16 -> f32 compute contract
-
-
-def _downcast(x, half):
-    return x if half is None else x.astype(half)
+from ..core.dtypes import downcast as _downcast, upcast_half
 
 
 def _entries(mat: jnp.ndarray, n: int):

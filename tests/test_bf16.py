@@ -133,3 +133,34 @@ def test_batchmatmul_det_bf16(dtype, rng):
         B.batchmatmul(ah.astype(jnp.float32), bh.astype(jnp.float32))
     )
     assert rel_err(mm, want_mm) < 0.02
+
+
+def test_mixed_precision_promotes_not_downcasts(rng):
+    """Mixed half/full inputs follow JAX promotion: an f32/f64 operand
+    is never silently rounded to half (code-review r2 finding #1)."""
+    mat = jnp.asarray(rng.standard_normal((8, 10)).astype(np.float32))
+    vec = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+    out = S.sym_matvec(mat, vec.astype(jnp.bfloat16))
+    assert out.dtype == jnp.float32
+    # f64 accumulator + bf16 operands keeps the f64 accumulator dtype
+    acc = jnp.asarray(rng.standard_normal((8, 4)))  # f64 under x64
+    out = S.sym_addmatvec(acc, mat.astype(jnp.bfloat16),
+                          vec.astype(jnp.bfloat16))
+    assert out.dtype == acc.dtype
+    a = jnp.asarray(rng.standard_normal((8, 4, 4)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((8, 4, 4))).astype(jnp.bfloat16)
+    assert B.batchmatmul(a, b).dtype == jnp.float32
+
+
+@pytest.mark.parametrize("n", [6, 10])
+def test_batched_integer_inputs(n, rng):
+    """Integer matrices promote to float (previously: silent truncation
+    in the unrolled tier, scan-carry crash in the rolled tier)."""
+    a = rng.integers(-4, 5, (20, n, n)).astype(np.int64)
+    a = a + n * 4 * np.eye(n, dtype=np.int64)
+    det = np.asarray(B.batchdet(jnp.asarray(a)))
+    np.testing.assert_allclose(det, np.linalg.det(a.astype(np.float64)),
+                               rtol=1e-9)
+    inv = np.asarray(B.batchinv(jnp.asarray(a)))
+    np.testing.assert_allclose(inv, np.linalg.inv(a.astype(np.float64)),
+                               rtol=1e-8, atol=1e-10)

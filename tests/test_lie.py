@@ -279,3 +279,21 @@ def test_logm_grad_roundtrip_identity(rng):
     X = jnp.asarray(rng.standard_normal((2, 3, 3)) * 0.3)
     g = np.asarray(jax.grad(lambda x: jnp.sum(logm(expm(x))))(X))
     np.testing.assert_allclose(g, np.ones_like(g), rtol=1e-6, atol=1e-6)
+
+
+def test_logm_branch_cut_collision_guard(rng):
+    """Normal-route eigenvalue collision (Re l1 + t Im l1 == Re l2 +
+    t Im l2 for distinct eigenvalues) must fall through to the shift
+    route via the reconstruction check, not return a silently mixed
+    eigenspace (code-review r2 finding #5)."""
+    t = 0.7390851332151607
+    b = 1.0
+    a = -2.0 + t * b  # C-eigenvalue of the pair's upper member == -2
+    M = np.zeros((3, 3))
+    M[0, 0] = -2.0
+    M[1:, 1:] = [[a, -b], [b, a]]
+    q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    A = q @ M @ q.T  # dense, normal, eigenvalues {-2, a+-bi}
+    got = np.asarray(L.logm(jnp.asarray(A)))
+    np.testing.assert_allclose(got, _scipy_realcast(A), rtol=1e-7,
+                               atol=1e-7)
