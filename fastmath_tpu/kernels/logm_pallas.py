@@ -27,8 +27,12 @@ from .sym_pallas import _call_rows, _interpret_default
 __all__ = ["logm_cf"]
 
 _MAX_D = 4
-_ISS_MAX = 10
-_DB_ITERS = 12
+_ISS_MAX = 12
+#: matches ops.lie._DB_ITERS: near-cut (but off-cut) eigenvalues need
+#: ~log2(1/dist) iterations of the unscaled product-form iteration;
+#: capping early would NaN lanes that converge fine on the XLA path
+#: and reroute them through the lower-accuracy shift rescue
+_DB_ITERS = 36
 _THRESH = 0.25
 
 

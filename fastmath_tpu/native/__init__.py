@@ -66,7 +66,10 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if os.environ.get("FASTMATH_TPU_NO_NATIVE"):
         return None
-    if not _LIB.exists() and not build():
+    # build() no-ops when the binary exists AND is newer than the
+    # source — calling it unconditionally is what makes the staleness
+    # rebuild actually reachable
+    if not build():
         return None
     lib = ctypes.CDLL(str(_LIB))
     i64, i32 = ctypes.c_int64, ctypes.c_int

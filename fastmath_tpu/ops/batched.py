@@ -196,8 +196,8 @@ def batchdet(a: jnp.ndarray) -> jnp.ndarray:
     """Batched determinant ``(..., n, n) -> (...)``.
 
     Closed form (one fused kernel) for n <= 4, unrolled pivoted LU for
-    n <= 8, ``jnp.linalg.det`` beyond. Reference analog:
-    ``_impl/batched.py:21-64``.
+    n <= 8, fori_loop-rolled PLU for n <= 16, ``jnp.linalg.det``
+    beyond. Reference analog: ``_impl/batched.py:21-64``.
     """
     a, half = upcast_half(a)
     n = a.shape[-1]
@@ -220,7 +220,8 @@ def batchinv(a: jnp.ndarray, regularize: bool = False) -> jnp.ndarray:
     """Batched inverse ``(..., n, n) -> (..., n, n)``.
 
     Closed form (adjugate / det) for n <= 4, unrolled pivoted LU for
-    n <= 8 (~50x XLA's blocked path on TPU), ``jnp.linalg.inv`` beyond.
+    n <= 8 (~50x XLA's blocked path on TPU), fori_loop-rolled PLU for
+    n <= 16, ``jnp.linalg.inv`` beyond.
     ``regularize=True`` (closed-form path only) enables the reference's range-scaled ``1e-12``
     determinant smoothing (``_impl/batched.py:74-77,93-96``); default off.
     Reference analog: ``_impl/batched.py:67-151``.
@@ -318,7 +319,8 @@ def batchlmdiv(
 
     ``b`` may be a vector ``(..., n)`` or a matrix ``(..., n, k)``.
     Closed-form adjugate solve for n <= 4, unrolled pivoted-LU solve
-    for n <= 8, ``jnp.linalg.solve`` beyond.
+    for n <= 8, fori_loop-rolled PLU for n <= 16, ``jnp.linalg.solve``
+    beyond.
     (North-star extension; the reference routes this through
     ``sugar.lmdiv``.)
     """
@@ -391,7 +393,8 @@ def batchlogdet(a: jnp.ndarray) -> jnp.ndarray:
     """Batched ``log |det A|`` ``(..., n, n) -> (...)``.
 
     Closed form via the n <= 4 determinant, unrolled pivoted LU for
-    n <= 8, ``jnp.linalg.slogdet`` beyond. (North-star extension, ``BASELINE.json`` configs[2].)
+    n <= 8, fori_loop-rolled PLU for n <= 16, ``jnp.linalg.slogdet``
+    beyond. (North-star extension, ``BASELINE.json`` configs[2].)
     """
     a, half = upcast_half(a)
     n = a.shape[-1]

@@ -174,15 +174,19 @@ def sym_matvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
     ``_impl/sym.py:134-175`` + jitfields ``sym_matvec``.
     """
     mat, vec, half = upcast_half(mat, vec)
+    return _downcast(_sym_matvec_impl(mat, vec), half)
+
+
+def _sym_matvec_impl(mat, vec):
+    """sym_matvec body without dtype handling (callers did upcast)."""
     n = vec.shape[-1]
     layout = classify_layout(mat.shape[-1], n)
     if layout is MatrixLayout.SCALED_IDENTITY or layout is MatrixLayout.DIAGONAL:
-        return _downcast(mat * vec, half)
+        return mat * vec
     if layout is MatrixLayout.FULL:
         full = mat.reshape(*mat.shape[:-1], n, n)
-        out = jnp.einsum("...ij,...j->...i", full, vec, precision="highest")
-        return _downcast(out, half)
-    return _downcast(_compact_matvec(mat, vec, n), half)
+        return jnp.einsum("...ij,...j->...i", full, vec, precision="highest")
+    return _compact_matvec(mat, vec, n)
 
 
 def sym_addmatvec(
@@ -190,7 +194,7 @@ def sym_addmatvec(
 ) -> jnp.ndarray:
     """``acc + A @ v`` (fused accumulate; jitfields ``sym_addmatvec``)."""
     acc, mat, vec, half = upcast_half(acc, mat, vec)
-    return _downcast(acc + sym_matvec(mat, vec), half)
+    return _downcast(acc + _sym_matvec_impl(mat, vec), half)
 
 
 def sym_submatvec(
@@ -199,7 +203,7 @@ def sym_submatvec(
     """``acc - A @ v`` (fused subtract-accumulate; jitfields
     ``sym_submatvec``)."""
     acc, mat, vec, half = upcast_half(acc, mat, vec)
-    return _downcast(acc - sym_matvec(mat, vec), half)
+    return _downcast(acc - _sym_matvec_impl(mat, vec), half)
 
 
 # ---------------------------------------------------------------------------
