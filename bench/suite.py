@@ -75,10 +75,11 @@ def record(name, batch, dtype, items_per_call, dt, med, p99, unit="items/s",
 
 
 def measure_stream_ceiling():
-    """Elementwise read+write stream over 512 MB — the machine ceiling
-    memory-bound ops are judged against (CLAUDE.md: ~86 GB/s on this
-    tunnel v5e via XLA)."""
-    x = jnp.ones((128, 1 << 20), jnp.float32)  # 512 MB
+    """Elementwise read+write stream over 1 GB — the machine ceiling
+    memory-bound ops are judged against. The working set must be large
+    enough that the ~1 ms/dispatch relay cost is amortized (512 MB
+    still reads ~25% low; 72 MB reads 3-7x low)."""
+    x = jnp.ones((256, 1 << 20), jnp.float32)  # 1 GB
     f = jax.jit(lambda t: t * 1.0000001 + 1.0)
     dt = honest_time(f, x, calls=16)
     CEILING[0] = x.size * 4 * 2 / dt
