@@ -26,8 +26,8 @@ import time
 import numpy as np
 
 B, N = 1_000_000, 4
-SCAN_ITERS, REPS = 4, 2
-CHAIN_K = 64  # dependent solves per dispatch (see bench_ours)
+SCAN_ITERS, REPS = 8, 3
+CHAIN_K = 128  # dependent solves per dispatch (see bench_ours)
 
 
 def _make_inputs(rng):
@@ -54,9 +54,11 @@ def bench_ours(spd, vec):
     # non-overlappable per-dispatch relay cost is amortized — at 1M
     # batch the operands are only 56 MB, and a single solve per
     # dispatch measures dispatch latency, not the op (measured: the
-    # same kernel at k=1 reads 6x slower than its sustained rate).
-    # Every iteration is a complete 1M-batch 4x4 compact-symmetric
-    # solve with a data-dependent RHS (nothing can be elided).
+    # same computation at k=1 reads ~7x slower than its sustained
+    # rate; k=128 with 24 pipelined dispatches measured 6.55e9 vs
+    # 4.78e9 for k=64 x 8). Every iteration is a complete 1M-batch
+    # 4x4 compact-symmetric solve with a data-dependent RHS (nothing
+    # can be elided).
     @jax.jit
     def run(m, v0):
         def body(x, _):

@@ -142,10 +142,10 @@ def main():
     record("sym_solve 4x4 (XLA, ref layout)", BIG, "f32", BIG, dt, med, p99,
            "solves/s", bytes_per_item=(10 + 4 + 4) * 4)
 
-    # sustained chained-dispatch rate (bench.py's headline): 64
+    # sustained chained-dispatch rate (bench.py's headline): 128
     # dependent full-batch solves per dispatch amortize the ~1 ms
     # relay dispatch cost that bounds every single-dispatch row above
-    K = 64
+    K = 128
 
     def chained(m, v0):
         def body(x, _):
@@ -153,7 +153,7 @@ def main():
         x, _ = jax.lax.scan(body, v0, None, length=K)
         return x
 
-    dt = honest_time(chained, mj, vj, calls=8)
+    dt = honest_time(chained, mj, vj, calls=24)
     # accuracy of the *chained* computation itself (error accumulates
     # over the K dependent solves): f32 chain vs an f64 numpy chain
     got_chain = np.asarray(chained(mj[:2048], vj[:2048]), np.float64)
@@ -162,7 +162,7 @@ def main():
     for _ in range(K):
         xo = np.linalg.solve(a64, xo[..., None])[..., 0] + vec[:2048]
     medc, p99c = rel_err(got_chain, xo)
-    record("sym_solve 4x4 sustained (chain k=64)", BIG, "f32", K * BIG, dt,
+    record("sym_solve 4x4 sustained (chain k=128)", BIG, "f32", K * BIG, dt,
            medc, p99c, "solves/s", bytes_per_item=(10 + 4 + 4) * 4)
 
     # --- batched inv/det/chol 3x3 & 8x8 -----------------------------------
