@@ -849,12 +849,13 @@ _jhj_cf.defvjp(_jhj_cf_fwd, _jhj_cf_bwd)
 def sym_matmul_cf(
     j: jnp.ndarray,
     h: jnp.ndarray,
-    block: int = DEFAULT_BLOCK,
+    block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Channel-first congruence product ``J^T H J``:
     ``j (K*D, ...)`` row-major full, ``h (K(K+1)/2, ...)`` compact ->
-    ``(D(D+1)/2, ...)`` compact (Pallas; K, D <= 4).
+    ``(D(D+1)/2, ...)`` compact (Pallas; K, D <= 6, matching the XLA
+    tier's unroll gate).
 
     Native-tier analog of :func:`fastmath_tpu.ops.sym.sym_matmul`
     (reference jhj kernels, ``_impl/sym.py:637-670``), with a
@@ -867,8 +868,10 @@ def sym_matmul_cf(
             f"j channel count {j.shape[0]} is not a multiple of K={k}"
         )
     d = j.shape[0] // k
-    if k > 4 or d > 4:
-        raise ValueError("pallas sym_matmul_cf implements K, D <= 4")
+    if k > 6 or d > 6:
+        raise ValueError("pallas sym_matmul_cf implements K, D <= 6")
+    if block is None:
+        block = DEFAULT_BLOCK if max(k, d) <= 4 else 4096
     if interpret is None:
         interpret = _interpret_default()
     batch_shape = np.broadcast_shapes(j.shape[1:], h.shape[1:])

@@ -113,7 +113,7 @@ def test_det_grad(rng):
 class TestJhJ:
     """sym_matmul_cf: channel-first congruence product + compact VJP."""
 
-    @pytest.mark.parametrize("k,d", [(2, 2), (3, 3), (4, 4), (4, 2), (2, 4)])
+    @pytest.mark.parametrize("k,d", [(2, 2), (3, 3), (4, 4), (4, 2), (2, 4), (5, 5), (6, 6), (6, 3)])
     def test_forward(self, k, d, rng):
         from fastmath_tpu.kernels import sym_matmul_cf
         from fastmath_tpu.ops.sym import sym_matmul
