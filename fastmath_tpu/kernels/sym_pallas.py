@@ -690,6 +690,16 @@ def _det_sym_kernel(n, mat_ref, out_ref):
     from ..ops.sym import _det_expand
 
     E = _entries_rows(mat_ref, n)
+    if n > 4:
+        # in-register PLU: det = parity * prod(diag(U))
+        E = [row[:] for row in E]
+        R = [[] for _ in range(n)]
+        parity = _plu_grid(E, R, n)
+        det = E[0][0]
+        for i in range(1, n):
+            det = det * E[i][i]
+        out_ref[0] = det * parity
+        return
     idx = tuple(range(n))
     out_ref[0] = _det_expand(E, idx, idx, {})
 
@@ -711,6 +721,17 @@ def _det_sym_cf_bwd(block, interpret, mat, g):
     from ..ops.sym import _det_expand
 
     n = sym_dim(mat.shape[0])
+    if n > 4:
+        # cof = det * inv (symmetric): one compact det + one compact
+        # inverse through the same Pallas tier
+        det = _det_sym_cf(mat, block, interpret)
+        inv = _invert_cf(mat, block, interpret)
+        gd = g * det
+        rows = [gd * inv[i] for i in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                rows.append(2.0 * gd * inv[tri_index(i, j, n)])
+        return (jnp.stack(rows, axis=0),)
     E = _entries_rows(mat, n)
     idx = tuple(range(n))
     cache = {}
@@ -734,11 +755,11 @@ _det_sym_cf.defvjp(_det_sym_cf_fwd, _det_sym_cf_bwd)
 
 def sym_det_cf(
     mat: jnp.ndarray,
-    block: int = DEFAULT_BLOCK,
+    block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Channel-first compact-symmetric determinant ``(NN, ...) -> (...)``
-    (Pallas; N <= 4).
+    (Pallas; adjugate N <= 4, in-register pivoted LU 5 <= N <= 8).
 
     Native-tier analog of :func:`fastmath_tpu.ops.sym.sym_det`
     (reference ``_impl/sym.py:401-452``).
@@ -746,8 +767,9 @@ def sym_det_cf(
     mat, half = upcast_half(mat)
     nn = mat.shape[0]
     n = sym_dim(nn)
-    if n > 4:
-        raise ValueError("pallas sym_det_cf implements N <= 4")
+    if n > MAX_N:
+        raise ValueError(f"pallas sym_det_cf implements N <= {MAX_N}")
+    block = _default_block(n, block)
     if interpret is None:
         interpret = _interpret_default()
     batch_shape = mat.shape[1:]

@@ -45,7 +45,7 @@ def test_outer(n, rng):
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 4])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 8])
 def test_det(n, rng):
     spd, cf = spd_cf(rng, 300, n)
     got = np.asarray(sym_det_cf(jnp.asarray(cf), block=256))
@@ -95,8 +95,8 @@ def test_outer_grad(rng):
                                rtol=1e-10, atol=1e-12)
 
 
-def test_det_grad(rng):
-    n = 3
+@pytest.mark.parametrize("n", [3, 6])
+def test_det_grad(rng, n):
     spd, cf = spd_cf(rng, 130, n)
     m = jnp.asarray(cf)
 
