@@ -76,16 +76,29 @@ def bench_ours(spd, vec):
     dt = (time.time() - t0) / (REPS * SCAN_ITERS)
     solves_per_sec = CHAIN_K * B / dt
 
-    # accuracy gate on a slice (single application, fp32 vs f64 oracle)
+    # accuracy gate on a slice (single application, fp32 vs f64 oracle).
+    # The normwise per-solve error ||x - x*|| / ||x*|| is the standard
+    # criterion for linear solves (the elementwise max is dominated by
+    # near-zero solution components, where relative error is not the
+    # meaningful metric); both are reported.
     single = sym_solve(mat[:65536], v[:65536])
     got = np.asarray(single, dtype=np.float64)
     want = np.linalg.solve(spd[:65536].astype(np.float64),
                            vec[:65536].astype(np.float64)[..., None])[..., 0]
     rel = np.abs(got - want) / (np.abs(want) + 1e-30)
+    nw = (np.linalg.norm(got - want, axis=-1)
+          / np.linalg.norm(want, axis=-1))
     print(
-        f"[bench] backend={jax.default_backend()} rel-err median="
-        f"{np.median(rel):.2e} p99={np.quantile(rel, 0.99):.2e} "
+        f"[bench] backend={jax.default_backend()} elementwise rel-err "
+        f"median={np.median(rel):.2e} p99={np.quantile(rel, 0.99):.2e} "
         f"max={rel.max():.2e}",
+        file=sys.stderr,
+    )
+    print(
+        f"[bench] normwise rel-err (||x-x*||/||x*|| per solve, the "
+        f"solve-accuracy gate): median={np.median(nw):.2e} "
+        f"p99={np.quantile(nw, 0.99):.2e} max={nw.max():.2e} "
+        f"(north-star target <= 1e-5)",
         file=sys.stderr,
     )
     return solves_per_sec

@@ -10,13 +10,21 @@ ONE methodology for every row (identical to bench.py's):
   at ~3 ms relay overhead per call, fewer calls understates
   memory-bound ops by up to ~4x (the round-1 2.2e8-vs-9.7e8 sym_solve
   discrepancy was exactly this).
-- channel-first Pallas rows use block=32768 (bench.py's setting) for
-  N <= 4; the N > 4 PLU tier uses its VMEM-sized default blocks.
-- accuracy: rel-err vs float64 numpy/scipy oracles on a slice.
+- every kernel family ALSO gets a **sustained** row (`chain k=K`):
+  K dependent full-batch applications per dispatch via lax.scan, the
+  dispatch-amortized rate an iterative production workload sees
+  (single-dispatch rows at <= 100 MB working sets are bounded by the
+  ~1 ms non-overlappable relay dispatch cost, not by the op — they
+  understate 2-7x; CLAUDE.md round-2 perf model).
+- accuracy: rel-err vs float64 numpy/scipy oracles on a slice; solves
+  additionally report normwise ||x-x*||/||x*|| (the standard solve
+  criterion; elementwise max is a near-zero-component artifact).
 - bandwidth column: bytes/item is the op's minimal HBM traffic
   (operands read + results written once); util% = achieved GB/s over
-  the stream ceiling MEASURED in the same session (a jitted
-  elementwise `x*a+b` over 512 MB, read+write counted).
+  the stream ceiling MEASURED in the same session. Compute-bound rows
+  (dct) instead report achieved TFLOP/s against the MXU matmul
+  ceiling measured in the same session — judging them by the DMA
+  ceiling reads as idle when they are at the FLOP roofline.
 
 Usage: python bench/suite.py [--out BENCH_MEASURED.md]
 """
@@ -34,7 +42,8 @@ import jax
 import jax.numpy as jnp
 
 RESULTS = []
-CEILING = [0.0]  # measured stream bytes/s, filled by main()
+CEILING = [0.0]      # measured stream bytes/s, filled by main()
+MXU_CEILING = [0.0]  # measured f32 matmul flop/s, filled by main()
 
 
 def honest_time(fn, *args, calls=32):
@@ -51,6 +60,30 @@ def honest_time(fn, *args, calls=32):
     return (time.time() - t0) / calls
 
 
+def chained_time(step, *args, k=64, calls=16):
+    """Sustained (dispatch-amortized) timing: one jitted call runs ``k``
+    *dependent* full-batch applications of ``step(state, *args)`` via
+    lax.scan (nothing can be elided — each iteration's input is the
+    previous output), pipelined `calls` times, drained by one scalar
+    fetch. Returns seconds per single application."""
+
+    def run(*a):
+        def body(x, _):
+            return step(x, *a[1:]), ()
+
+        x, _ = jax.lax.scan(body, a[0], None, length=k)
+        return jnp.sum(jax.tree.leaves(x)[0] if isinstance(x, (tuple, list))
+                       else x)
+
+    g = jax.jit(run)
+    _ = float(g(*args))
+    t0 = time.time()
+    for _ in range(calls - 1):
+        out = g(*args)
+    _ = float(g(*args))
+    return (time.time() - t0) / (calls * k)
+
+
 def rel_err(got, want):
     got = np.asarray(got, dtype=np.float64)
     want = np.asarray(want, dtype=np.float64)
@@ -58,18 +91,33 @@ def rel_err(got, want):
     return float(np.median(r)), float(np.quantile(r, 0.99))
 
 
+def normwise(got, want):
+    got = np.asarray(got, dtype=np.float64)
+    want = np.asarray(want, dtype=np.float64)
+    nw = np.linalg.norm(got - want, axis=-1) / np.linalg.norm(want, axis=-1)
+    return float(np.max(nw))
+
+
 def record(name, batch, dtype, items_per_call, dt, med, p99, unit="items/s",
-           bytes_per_item=None):
+           bytes_per_item=None, flops_per_item=None, nw_max=None):
     thr = items_per_call / dt
     gbps = thr * bytes_per_item / 1e9 if bytes_per_item else None
     util = gbps * 1e9 / CEILING[0] if (gbps and CEILING[0]) else None
+    tflops = thr * flops_per_item / 1e12 if flops_per_item else None
+    mxu = (tflops * 1e12 / MXU_CEILING[0]
+           if (tflops and MXU_CEILING[0]) else None)
     RESULTS.append(
         dict(op=name, batch=batch, dtype=dtype, throughput=thr, unit=unit,
-             relerr_median=med, relerr_p99=p99,
-             bytes_per_item=bytes_per_item, gbps=gbps, util=util)
+             relerr_median=med, relerr_p99=p99, normwise_max=nw_max,
+             bytes_per_item=bytes_per_item, gbps=gbps, util=util,
+             tflops=tflops, mxu_util=mxu)
     )
     u = f" {gbps:7.1f} GB/s ({100 * util:5.1f}% ceiling)" if gbps else ""
-    print(f"{name:34s} {thr:12.3e} {unit:10s} "
+    if tflops:
+        u += f" {tflops:6.1f} TFLOP/s ({100 * mxu:5.1f}% MXU)"
+    if nw_max is not None:
+        u += f" nw_max={nw_max:.1e}"
+    print(f"{name:40s} {thr:12.3e} {unit:10s} "
           f"relerr med={med:.1e} p99={p99:.1e}{u}", file=sys.stderr,
           flush=True)
 
@@ -85,6 +133,20 @@ def measure_stream_ceiling():
     CEILING[0] = x.size * 4 * 2 / dt
     print(f"[stream ceiling] {CEILING[0] / 1e9:.1f} GB/s", file=sys.stderr,
           flush=True)
+    del x
+
+
+def measure_mxu_ceiling():
+    """f32 matmul roofline measured the same way (4096^3 GEMM chained
+    so dispatch cost amortizes) — the ceiling compute-bound MXU rows
+    (dct basis matmuls) are judged against."""
+    n = 4096
+    a = jnp.ones((n, n), jnp.float32) * 1e-3
+    dt = chained_time(lambda x, b: x @ b * 1e-3, a, a, k=16, calls=8)
+    MXU_CEILING[0] = 2 * n**3 / dt
+    print(f"[mxu f32 ceiling] {MXU_CEILING[0] / 1e12:.1f} TFLOP/s",
+          file=sys.stderr, flush=True)
+    del a
 
 
 def spd_batch(rng, b, n, dtype=np.float32):
@@ -96,7 +158,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_MEASURED.md")
     ap.add_argument("--small", action="store_true", help="reduced batch sizes")
+    ap.add_argument("--section", default="all",
+                    help="comma-set of {sym,batched,gate16,eig,dct,lie,"
+                         "reduce,solve8,bf16}")
     args = ap.parse_args()
+    sections = set(args.section.split(","))
+
+    def on(s):
+        return "all" in sections or s in sections
 
     from fastmath_tpu.layouts import full_to_sym
     from fastmath_tpu.kernels import sym_solve_cf, sym_matvec_cf
@@ -112,236 +181,376 @@ def main():
     BIG = 200_000 if args.small else 1_000_000
     MID = 50_000 if args.small else 200_000
     measure_stream_ceiling()
+    measure_mxu_ceiling()
+    import scipy.fft as sfft
+    import scipy.linalg as sla
 
     # --- compact-sym solve/matvec, 4x4, fp32 ------------------------------
-    spd = spd_batch(rng, BIG, 4)
-    compact = np.asarray(full_to_sym(jnp.asarray(spd)))
-    vec = rng.standard_normal((BIG, 4)).astype(np.float32)
-    want = np.linalg.solve(spd[:8192].astype(np.float64),
-                           vec[:8192].astype(np.float64)[..., None])[..., 0]
-    if backend == "tpu":
-        m = jax.device_put(jnp.asarray(compact.T.copy()))
-        v = jax.device_put(jnp.asarray(vec.T.copy()))
-        f = jax.jit(lambda m, v: sym_solve_cf(m, v, block=32768))
-        dt = honest_time(f, m, v)
-        med, p99 = rel_err(np.asarray(f(m[:, :8192], v[:, :8192])).T, want)
-        record("sym_solve 4x4 (pallas, cf)", BIG, "f32", BIG, dt, med, p99,
-               "solves/s", bytes_per_item=(10 + 4 + 4) * 4)
-        fmv = jax.jit(lambda m, v: sym_matvec_cf(m, v, block=32768))
-        dtmv = honest_time(fmv, m, v)
-        wmv = np.einsum("...ij,...j->...i", spd[:8192].astype(np.float64),
-                        vec[:8192].astype(np.float64))
-        medv, p99v = rel_err(np.asarray(fmv(m[:, :8192], v[:, :8192])).T, wmv)
-        record("sym_matvec 4x4 (pallas, cf)", BIG, "f32", BIG, dtmv, medv,
-               p99v, "mv/s", bytes_per_item=(10 + 4 + 4) * 4)
-    mj = jax.device_put(jnp.asarray(compact))
-    vj = jax.device_put(jnp.asarray(vec))
-    f = jax.jit(F.sym_solve)
-    dt = honest_time(f, mj, vj)
-    med, p99 = rel_err(np.asarray(f(mj[:8192], vj[:8192])), want)
-    record("sym_solve 4x4 (XLA, ref layout)", BIG, "f32", BIG, dt, med, p99,
-           "solves/s", bytes_per_item=(10 + 4 + 4) * 4)
+    if on("sym"):
+        spd = spd_batch(rng, BIG, 4)
+        compact = np.asarray(full_to_sym(jnp.asarray(spd)))
+        vec = rng.standard_normal((BIG, 4)).astype(np.float32)
+        want = np.linalg.solve(spd[:8192].astype(np.float64),
+                               vec[:8192].astype(np.float64)[..., None])[..., 0]
+        if backend == "tpu":
+            m = jax.device_put(jnp.asarray(compact.T.copy()))
+            v = jax.device_put(jnp.asarray(vec.T.copy()))
+            f = jax.jit(lambda m, v: sym_solve_cf(m, v, block=32768))
+            dt = honest_time(f, m, v)
+            got = np.asarray(f(m[:, :8192], v[:, :8192])).T
+            med, p99 = rel_err(got, want)
+            record("sym_solve 4x4 (pallas, cf)", BIG, "f32", BIG, dt, med,
+                   p99, "solves/s", bytes_per_item=(10 + 4 + 4) * 4,
+                   nw_max=normwise(got, want))
+            fmv = jax.jit(lambda m, v: sym_matvec_cf(m, v, block=32768))
+            dtmv = honest_time(fmv, m, v)
+            wmv = np.einsum("...ij,...j->...i", spd[:8192].astype(np.float64),
+                            vec[:8192].astype(np.float64))
+            medv, p99v = rel_err(np.asarray(fmv(m[:, :8192], v[:, :8192])).T,
+                                 wmv)
+            record("sym_matvec 4x4 (pallas, cf)", BIG, "f32", BIG, dtmv, medv,
+                   p99v, "mv/s", bytes_per_item=(10 + 4 + 4) * 4)
+            del m, v
+        mj = jax.device_put(jnp.asarray(compact))
+        vj = jax.device_put(jnp.asarray(vec))
+        f = jax.jit(F.sym_solve)
+        dt = honest_time(f, mj, vj)
+        got = np.asarray(f(mj[:8192], vj[:8192]))
+        med, p99 = rel_err(got, want)
+        record("sym_solve 4x4 (public, XLA)", BIG, "f32", BIG, dt, med, p99,
+               "solves/s", bytes_per_item=(10 + 4 + 4) * 4,
+               nw_max=normwise(got, want))
 
-    # sustained chained-dispatch rate (bench.py's headline): 128
-    # dependent full-batch solves per dispatch amortize the ~1 ms
-    # relay dispatch cost that bounds every single-dispatch row above
-    K = 128
+        # sustained chained-dispatch rate (bench.py's headline)
+        dt = chained_time(lambda x, m, v0: F.sym_solve(m, x) + v0,
+                          vj, mj, vj, k=128, calls=24)
+        got_chain = np.asarray(jax.jit(
+            lambda m, v0: jax.lax.scan(
+                lambda x, _: (F.sym_solve(m, x) + v0, ()), v0, None,
+                length=128)[0])(mj[:2048], vj[:2048]), np.float64)
+        xo = vec[:2048].astype(np.float64)
+        a64 = spd[:2048].astype(np.float64)
+        for _ in range(128):
+            xo = np.linalg.solve(a64, xo[..., None])[..., 0] + vec[:2048]
+        medc, p99c = rel_err(got_chain, xo)
+        record("sym_solve 4x4 sustained (chain k=128)", BIG, "f32", BIG, dt,
+               medc, p99c, "solves/s", bytes_per_item=(10 + 4 + 4) * 4)
+        del spd, compact, vec, mj, vj
 
-    def chained(m, v0):
-        def body(x, _):
-            return F.sym_solve(m, x) + v0, ()
-        x, _ = jax.lax.scan(body, v0, None, length=K)
-        return x
-
-    dt = honest_time(chained, mj, vj, calls=24)
-    # accuracy of the *chained* computation itself (error accumulates
-    # over the K dependent solves): f32 chain vs an f64 numpy chain
-    got_chain = np.asarray(chained(mj[:2048], vj[:2048]), np.float64)
-    xo = vec[:2048].astype(np.float64)
-    a64 = spd[:2048].astype(np.float64)
-    for _ in range(K):
-        xo = np.linalg.solve(a64, xo[..., None])[..., 0] + vec[:2048]
-    medc, p99c = rel_err(got_chain, xo)
-    record("sym_solve 4x4 sustained (chain k=128)", BIG, "f32", K * BIG, dt,
-           medc, p99c, "solves/s", bytes_per_item=(10 + 4 + 4) * 4)
-
-    # --- batched inv/det/chol 3x3 & 8x8 -----------------------------------
-    # 3x3 at the full 1M batch: smaller batches are relay-overhead
-    # dominated (~3 ms/call) and understate throughput ~4x.
-    for n, nb in ((3, BIG), (8, MID)):
-        a = spd_batch(rng, nb, n)
-        aj = jax.device_put(jnp.asarray(a))
-        f = jax.jit(B_.batchinv)
-        dt = honest_time(f, aj)
-        med, p99 = rel_err(np.asarray(f(aj[:4096])),
-                           np.linalg.inv(a[:4096].astype(np.float64)))
-        record(f"batchinv {n}x{n}", nb, "f32", nb, dt, med, p99, "inv/s",
-               bytes_per_item=2 * n * n * 4)
-        f = jax.jit(B_.batchchol)
-        dt = honest_time(f, aj)
-        med, p99 = rel_err(np.asarray(f(aj[:4096])),
-                           np.linalg.cholesky(a[:4096].astype(np.float64)))
-        record(f"batchchol {n}x{n}", nb, "f32", nb, dt, med, p99, "chol/s",
-               bytes_per_item=2 * n * n * 4)
-
-    if backend == "tpu":
-        from fastmath_tpu.kernels import chol_cf, inv_cf
-
-        a = spd_batch(rng, BIG, 3)
-        cf = jax.device_put(jnp.asarray(
-            np.ascontiguousarray(a.reshape(BIG, 9).T)))
-        f = jax.jit(lambda x: inv_cf(x, block=32768))
-        dt = honest_time(f, cf)
-        med, p99 = rel_err(np.asarray(f(cf[:, :8192])).T,
-                           np.linalg.inv(a[:8192].astype(np.float64))
-                           .reshape(-1, 9))
-        record("batchinv 3x3 (pallas, cf)", BIG, "f32", BIG, dt, med, p99,
-               "inv/s", bytes_per_item=2 * 9 * 4)
-        comp = jax.device_put(jnp.asarray(np.ascontiguousarray(
-            np.asarray(full_to_sym(jnp.asarray(a))).T)))
-        f = jax.jit(lambda x: chol_cf(x, block=32768))
-        dt = honest_time(f, comp)
-        lw = np.linalg.cholesky(a[:8192].astype(np.float64))
-        lw_comp = np.asarray(full_to_sym(jnp.asarray(
-            lw + np.swapaxes(lw, -1, -2) - lw * np.eye(3))))
-        med, p99 = rel_err(np.asarray(f(comp[:, :8192])).T, lw_comp)
-        record("batchchol 3x3 (pallas, cf)", BIG, "f32", BIG, dt, med, p99,
-               "chol/s", bytes_per_item=2 * 6 * 4)
-
-    # --- eig_sym 4x4 huge batch -------------------------------------------
-    a = spd_batch(rng, MID, 4)
-    aj = jax.device_put(jnp.asarray(a))
-    f = jax.jit(lambda x: Q.eig_sym(x, check_finite=False, backend="xla"))
-    dt = honest_time(f, aj, calls=4)
-    w = np.sort(np.asarray(f(aj[:4096])), -1)
-    ww = np.sort(np.linalg.eigvalsh(a[:4096].astype(np.float64)), -1)
-    med, p99 = rel_err(w, ww)
-    record("eig_sym 4x4 (jacobi, xla)", MID, "f32", MID, dt, med, p99,
-           "eig/s", bytes_per_item=(16 + 4) * 4)
-    if backend == "tpu":
-        abig = jax.device_put(jnp.asarray(spd_batch(rng, BIG, 4)))
-        f = jax.jit(lambda x: Q.eig_sym(x, check_finite=False))
-        dt = honest_time(f, abig, calls=8)
-        med, p99 = rel_err(np.sort(np.asarray(f(aj[:4096])), -1), ww)
-        record("eig_sym 4x4 (auto->pallas)", BIG, "f32", BIG, dt, med, p99,
-               "eig/s", bytes_per_item=(16 + 4) * 4)
-        del abig
-    if backend == "tpu":
-        from fastmath_tpu.kernels import eig_sym_cf
-
-        acf = jax.device_put(
-            jnp.asarray(np.ascontiguousarray(
-                np.asarray(full_to_sym(jnp.asarray(spd_batch(rng, BIG, 4)))).T))
-        )
-        fcf = jax.jit(lambda x: eig_sym_cf(x, block=32768))
-        dt = honest_time(fcf, acf, calls=8)
-        wcf = np.sort(np.asarray(fcf(acf[:, :8192])).T, -1)
-        full8k = np.asarray(F.sym_to_full(jnp.asarray(np.asarray(acf[:, :8192]).T)))
-        wwcf = np.sort(np.linalg.eigvalsh(full8k.astype(np.float64)), -1)
-        med, p99 = rel_err(wcf, wwcf)
-        record("eig_sym 4x4 (pallas, cf)", BIG, "f32", BIG, dt, med, p99,
-               "eig/s", bytes_per_item=(10 + 4) * 4)
-
-    # --- dct (matmul path) -------------------------------------------------
-    x = rng.standard_normal((BIG, 64)).astype(np.float32)
-    xj = jax.device_put(jnp.asarray(x))
-    f = jax.jit(lambda t: RT.dct(t, norm="ortho"))
-    dt = honest_time(f, xj)
-    import scipy.fft as sfft
-    med, p99 = rel_err(np.asarray(f(xj[:4096])),
-                       sfft.dct(x[:4096].astype(np.float64), norm="ortho"))
-    record("dct-II n=64 ortho (MXU)", BIG, "f32", BIG, dt, med, p99,
-           "rows/s", bytes_per_item=2 * 64 * 4)
-    del xj, x  # free 2x256 MB before staging the FFT-path operand
-    nfft = 65536
-    x2 = rng.standard_normal((nfft, 2048)).astype(np.float32)
-    x2j = jax.device_put(jnp.asarray(x2))
-    f2 = jax.jit(lambda t: RT.dct(t, norm="ortho"))
-    dt2 = honest_time(f2, x2j)
-    med2, p992 = rel_err(np.asarray(f2(x2j[:1024])),
-                         sfft.dct(x2[:1024].astype(np.float64), norm="ortho"))
-    record("dct-II n=2048 ortho (MXU)", nfft, "f32", nfft, dt2, med2, p992,
-           "rows/s", bytes_per_item=2 * 2048 * 4)
-    del x2j, x2
-
-    # --- expm / logm SE(3)-ish 4x4 ------------------------------------------
-    X = rng.standard_normal((BIG, 4, 4)).astype(np.float32) * 0.5
-    Xj = jax.device_put(jnp.asarray(X))
-    f = jax.jit(L.expm)
-    dt = honest_time(f, Xj, calls=8)
-    import scipy.linalg as sla
-    want = np.stack([sla.expm(np.asarray(m, np.float64)) for m in X[:256]])
-    med, p99 = rel_err(np.asarray(f(Xj[:256])), want)
-    record("expm 4x4", BIG, "f32", BIG, dt, med, p99, "expm/s",
-           bytes_per_item=2 * 16 * 4)
-    # logm inputs built on device (expm), accuracy = roundtrip vs X
-    # (well-conditioned: ||X|| <= ~2) + scipy spot-check on a slice
-    Ej = f(Xj)
-    f = jax.jit(L.logm)
-    dt = honest_time(f, Ej, calls=8)
-    med, p99 = rel_err(np.asarray(f(Ej[:8192])),
-                       np.asarray(Xj[:8192], np.float64))
-    record("logm 4x4 (batched ISS)", BIG, "f32", BIG, dt, med, p99, "logm/s",
-           bytes_per_item=2 * 16 * 4)
-    del Xj, Ej
-
-    # --- nan reductions ------------------------------------------------------
-    xx = rng.standard_normal((BIG, 64)).astype(np.float32)
-    xx[rng.random(xx.shape) < 0.2] = np.nan
-    xj = jax.device_put(jnp.asarray(xx))
-    f = jax.jit(lambda t: R.nansum(t, dim=-1))
-    dt = honest_time(f, xj)
-    med, p99 = rel_err(np.asarray(f(xj[:65536])),
-                       np.nansum(xx[:65536].astype(np.float64), -1))
-    record("nansum dim=-1", BIG, "f32", BIG * 64, dt, med, p99, "elem/s",
-           bytes_per_item=4 + 4 / 64)
-
-    # --- small-n dense solves (unrolled PLU / cholesky tiers) ---------------
-    from fastmath_tpu.ops import sugar as SU
-    n8 = 8
-    a8 = spd_batch(rng, MID, n8)
-    b8 = rng.standard_normal((MID, n8, 2)).astype(np.float32)
-    a8j, b8j = jax.device_put(jnp.asarray(a8)), jax.device_put(jnp.asarray(b8))
-    want8 = np.linalg.solve(a8[:2048].astype(np.float64),
-                            b8[:2048].astype(np.float64))
-    for meth in ("lu", "chol"):
-        f = jax.jit(lambda a, b, m=meth: SU.lmdiv(a, b, method=m))
-        dt = honest_time(f, a8j, b8j)
-        med, p99 = rel_err(np.asarray(f(a8j[:2048], b8j[:2048])), want8)
-        record(f"lmdiv {meth} 8x8", MID, "f32", MID, dt, med, p99, "solves/s",
-               bytes_per_item=(64 + 16 + 16) * 4)
-    a6 = spd_batch(rng, MID, 6)
-    c6 = np.asarray(full_to_sym(jnp.asarray(a6)))
-    v6 = rng.standard_normal((MID, 6)).astype(np.float32)
-    c6j, v6j = jax.device_put(jnp.asarray(c6)), jax.device_put(jnp.asarray(v6))
-    f = jax.jit(F.sym_solve)
-    dt = honest_time(f, c6j, v6j)
-    want6 = np.linalg.solve(a6[:2048].astype(np.float64),
-                            v6[:2048].astype(np.float64)[..., None])[..., 0]
-    med, p99 = rel_err(np.asarray(f(c6j[:2048], v6j[:2048])), want6)
-    record("sym_solve 6x6 (XLA PLU)", MID, "f32", MID, dt, med, p99,
-           "solves/s", bytes_per_item=(21 + 6 + 6) * 4)
-
-    # --- channel-first Pallas PLU tier (5 <= N <= 8, new in r2) -------------
-    if backend == "tpu":
+    # --- compact-sym solve 6x6 / 8x8: public routed vs cf kernel ----------
+    if on("solve8"):
         for n_ in (6, 8):
             a_ = spd_batch(rng, BIG, n_)
             nn_ = n_ * (n_ + 1) // 2
-            cf_ = jax.device_put(jnp.asarray(np.ascontiguousarray(
-                np.asarray(full_to_sym(jnp.asarray(a_))).T)))
+            c_ = np.asarray(full_to_sym(jnp.asarray(a_)))
             v_ = rng.standard_normal((BIG, n_)).astype(np.float32)
-            vcf_ = jax.device_put(jnp.asarray(v_.T.copy()))
-            fs = jax.jit(lambda m, v: sym_solve_cf(m, v))
-            dt = honest_time(fs, cf_, vcf_)
             want_ = np.linalg.solve(a_[:4096].astype(np.float64),
                                     v_[:4096].astype(np.float64)[..., None]
                                     )[..., 0]
-            med, p99 = rel_err(np.asarray(fs(cf_[:, :4096], vcf_[:, :4096])).T,
-                               want_)
-            record(f"sym_solve {n_}x{n_} (pallas PLU, cf)", BIG, "f32", BIG,
-                   dt, med, p99, "solves/s",
-                   bytes_per_item=(nn_ + 2 * n_) * 4)
-            del a_, cf_, vcf_
+            bpi = (nn_ + 2 * n_) * 4
+            # public batch-major layout, auto routing (pallas on TPU)
+            cj = jax.device_put(jnp.asarray(c_))
+            vj = jax.device_put(jnp.asarray(v_))
+            f = jax.jit(F.sym_solve)
+            dt = honest_time(f, cj, vj)
+            got = np.asarray(f(cj[:4096], vj[:4096]))
+            med, p99 = rel_err(got, want_)
+            record(f"sym_solve {n_}x{n_} (public, auto)", BIG, "f32", BIG,
+                   dt, med, p99, "solves/s", bytes_per_item=bpi,
+                   nw_max=normwise(got, want_))
+            dt = chained_time(lambda x, m, v0: F.sym_solve(m, x) + v0,
+                              vj, cj, vj, k=32, calls=8)
+            record(f"sym_solve {n_}x{n_} sustained (chain k=32)", BIG,
+                   "f32", BIG, dt, med, p99, "solves/s", bytes_per_item=bpi)
+            forced = jax.jit(lambda m, v: F.sym_solve(m, v, backend="xla"))
+            dtx = honest_time(forced, cj, vj, calls=8)
+            medx, p99x = rel_err(np.asarray(forced(cj[:4096], vj[:4096])),
+                                 want_)
+            record(f"sym_solve {n_}x{n_} (public, XLA PLU)", BIG, "f32",
+                   BIG, dtx, medx, p99x, "solves/s", bytes_per_item=bpi)
+            del cj, vj
+            if backend == "tpu":
+                # channel-first-resident kernel row (the routing target)
+                cf_ = jax.device_put(jnp.asarray(
+                    np.ascontiguousarray(c_.T)))
+                vcf_ = jax.device_put(jnp.asarray(v_.T.copy()))
+                fs = jax.jit(lambda m, v: sym_solve_cf(m, v))
+                dt = honest_time(fs, cf_, vcf_)
+                med, p99 = rel_err(
+                    np.asarray(fs(cf_[:, :4096], vcf_[:, :4096])).T, want_)
+                record(f"sym_solve {n_}x{n_} (pallas PLU, cf)", BIG, "f32",
+                       BIG, dt, med, p99, "solves/s", bytes_per_item=bpi)
+                del cf_, vcf_
+            del a_, c_, v_
+
+    # --- batched inv/det/chol 3x3 & 8x8 (public, auto-routed) -------------
+    if on("batched"):
+        for n, nb in ((3, BIG), (8, BIG)):
+            a = spd_batch(rng, nb, n)
+            aj = jax.device_put(jnp.asarray(a))
+            inv_want = np.linalg.inv(a[:4096].astype(np.float64))
+            f = jax.jit(B_.batchinv)
+            dt = honest_time(f, aj)
+            med, p99 = rel_err(np.asarray(f(aj[:4096])), inv_want)
+            record(f"batchinv {n}x{n} (public, auto)", nb, "f32", nb, dt,
+                   med, p99, "inv/s", bytes_per_item=2 * n * n * 4)
+            dt = chained_time(
+                lambda x, a0: B_.batchinv(x) * 0.5 + a0, aj, aj,
+                k=32, calls=8)
+            record(f"batchinv {n}x{n} sustained (chain k=32)", nb, "f32",
+                   nb, dt, med, p99, "inv/s", bytes_per_item=2 * n * n * 4)
+            if n > 4:
+                fx = jax.jit(lambda t: B_.batchinv(t, backend="xla"))
+                dtx = honest_time(fx, aj, calls=8)
+                medx, p99x = rel_err(np.asarray(fx(aj[:4096])), inv_want)
+                record(f"batchinv {n}x{n} (public, XLA PLU)", nb, "f32", nb,
+                       dtx, medx, p99x, "inv/s",
+                       bytes_per_item=2 * n * n * 4)
+            f = jax.jit(B_.batchchol)
+            dt = honest_time(f, aj)
+            med, p99 = rel_err(np.asarray(f(aj[:4096])),
+                               np.linalg.cholesky(a[:4096].astype(np.float64)))
+            record(f"batchchol {n}x{n} (public, auto)", nb, "f32", nb, dt,
+                   med, p99, "chol/s", bytes_per_item=2 * n * n * 4)
+            del a, aj
+
+        if backend == "tpu":
+            from fastmath_tpu.kernels import chol_cf, inv_cf
+
+            a = spd_batch(rng, BIG, 3)
+            cf = jax.device_put(jnp.asarray(
+                np.ascontiguousarray(a.reshape(BIG, 9).T)))
+            f = jax.jit(lambda x: inv_cf(x, block=32768))
+            dt = honest_time(f, cf)
+            med, p99 = rel_err(np.asarray(f(cf[:, :8192])).T,
+                               np.linalg.inv(a[:8192].astype(np.float64))
+                               .reshape(-1, 9))
+            record("batchinv 3x3 (pallas, cf)", BIG, "f32", BIG, dt, med,
+                   p99, "inv/s", bytes_per_item=2 * 9 * 4)
+            comp = jax.device_put(jnp.asarray(np.ascontiguousarray(
+                np.asarray(full_to_sym(jnp.asarray(a))).T)))
+            f = jax.jit(lambda x: chol_cf(x, block=32768))
+            dt = honest_time(f, comp)
+            lw = np.linalg.cholesky(a[:8192].astype(np.float64))
+            lw_comp = np.asarray(full_to_sym(jnp.asarray(
+                lw + np.swapaxes(lw, -1, -2) - lw * np.eye(3))))
+            med, p99 = rel_err(np.asarray(f(comp[:, :8192])).T, lw_comp)
+            record("batchchol 3x3 (pallas, cf)", BIG, "f32", BIG, dt, med,
+                   p99, "chol/s", bytes_per_item=2 * 6 * 4)
+            del a, cf, comp
+
+    # --- the BASELINE <=16x16 gate (configs[2]) at 16x16 -------------------
+    if on("gate16"):
+        n16, nb16 = 16, BIG // 2  # 16x16 @ 500k = 512 MB/operand
+        a = spd_batch(rng, nb16, n16)
+        bvec = rng.standard_normal((nb16, n16)).astype(np.float32)
+        aj = jax.device_put(jnp.asarray(a))
+        bj = jax.device_put(jnp.asarray(bvec))
+        inv_want = np.linalg.inv(a[:2048].astype(np.float64))
+        sol_want = np.linalg.solve(a[:2048].astype(np.float64),
+                                   bvec[:2048].astype(np.float64)[..., None]
+                                   )[..., 0]
+        f = jax.jit(B_.batchchol)
+        dt = honest_time(f, aj, calls=8)
+        med, p99 = rel_err(np.asarray(f(aj[:2048])),
+                           np.linalg.cholesky(a[:2048].astype(np.float64)))
+        record("batchchol 16x16 (unrolled)", nb16, "f32", nb16, dt, med, p99,
+               "chol/s", bytes_per_item=2 * 256 * 4)
+        f = jax.jit(B_.batchlogdet)
+        dt = honest_time(f, aj, calls=8)
+        _, ld = np.linalg.slogdet(a[:2048].astype(np.float64))
+        med, p99 = rel_err(np.asarray(f(aj[:2048])), ld)
+        record("batchlogdet 16x16 (rolled PLU)", nb16, "f32", nb16, dt, med,
+               p99, "logdet/s", bytes_per_item=(256 + 1) * 4)
+        f = jax.jit(B_.batchinv)
+        dt = honest_time(f, aj, calls=8)
+        med, p99 = rel_err(np.asarray(f(aj[:2048])), inv_want)
+        record("batchinv 16x16 (rolled PLU)", nb16, "f32", nb16, dt, med,
+               p99, "inv/s", bytes_per_item=2 * 256 * 4)
+        from fastmath_tpu.ops import sugar as SU
+
+        for meth in ("lu", "chol"):
+            f = jax.jit(lambda a, b, m=meth: SU.lmdiv(a, b, method=m))
+            dt = honest_time(f, aj, bj, calls=8)
+            got = np.asarray(f(aj[:2048], bj[:2048]))
+            med, p99 = rel_err(got, sol_want)
+            record(f"batchlmdiv {meth} 16x16", nb16, "f32", nb16, dt, med,
+                   p99, "solves/s", bytes_per_item=(256 + 2 * 16) * 4,
+                   nw_max=normwise(got, sol_want))
+        del a, aj, bj, bvec
+
+    # --- eig_sym 4x4 huge batch -------------------------------------------
+    if on("eig"):
+        a = spd_batch(rng, MID, 4)
+        aj = jax.device_put(jnp.asarray(a))
+        f = jax.jit(lambda x: Q.eig_sym(x, check_finite=False, backend="xla"))
+        dt = honest_time(f, aj, calls=4)
+        w = np.sort(np.asarray(f(aj[:4096])), -1)
+        ww = np.sort(np.linalg.eigvalsh(a[:4096].astype(np.float64)), -1)
+        med, p99 = rel_err(w, ww)
+        record("eig_sym 4x4 (jacobi, xla)", MID, "f32", MID, dt, med, p99,
+               "eig/s", bytes_per_item=(16 + 4) * 4)
+        if backend == "tpu":
+            abig = jax.device_put(jnp.asarray(spd_batch(rng, BIG, 4)))
+            f = jax.jit(lambda x: Q.eig_sym(x, check_finite=False))
+            dt = honest_time(f, abig, calls=8)
+            med, p99 = rel_err(np.sort(np.asarray(f(aj[:4096])), -1), ww)
+            record("eig_sym 4x4 (auto->pallas)", BIG, "f32", BIG, dt, med,
+                   p99, "eig/s", bytes_per_item=(16 + 4) * 4)
+            # sustained: eigvals feed a rank-augmented next matrix
+            dt = chained_time(
+                lambda x, a0: a0 + 1e-3 * jnp.eye(4, dtype=x.dtype)
+                * Q.eig_sym(x, check_finite=False)[..., :1, None],
+                abig, abig, k=8, calls=4)
+            record("eig_sym 4x4 sustained (chain k=8)", BIG, "f32", BIG, dt,
+                   med, p99, "eig/s", bytes_per_item=(16 + 4) * 4)
+            del abig
+            from fastmath_tpu.kernels import eig_sym_cf
+
+            acf = jax.device_put(
+                jnp.asarray(np.ascontiguousarray(
+                    np.asarray(full_to_sym(
+                        jnp.asarray(spd_batch(rng, BIG, 4)))).T))
+            )
+            fcf = jax.jit(lambda x: eig_sym_cf(x, block=32768))
+            dt = honest_time(fcf, acf, calls=8)
+            wcf = np.sort(np.asarray(fcf(acf[:, :8192])).T, -1)
+            full8k = np.asarray(F.sym_to_full(
+                jnp.asarray(np.asarray(acf[:, :8192]).T)))
+            wwcf = np.sort(np.linalg.eigvalsh(full8k.astype(np.float64)), -1)
+            med, p99 = rel_err(wcf, wwcf)
+            record("eig_sym 4x4 (pallas, cf)", BIG, "f32", BIG, dt, med, p99,
+                   "eig/s", bytes_per_item=(10 + 4) * 4)
+            del acf
+        del a, aj
+
+    # --- dct (matmul path) --------------------------------------------------
+    if on("dct"):
+        x = rng.standard_normal((BIG, 64)).astype(np.float32)
+        xj = jax.device_put(jnp.asarray(x))
+        f = jax.jit(lambda t: RT.dct(t, norm="ortho"))
+        dt = honest_time(f, xj)
+        med, p99 = rel_err(np.asarray(f(xj[:4096])),
+                           sfft.dct(x[:4096].astype(np.float64), norm="ortho"))
+        record("dct-II n=64 ortho (MXU)", BIG, "f32", BIG, dt, med, p99,
+               "rows/s", bytes_per_item=2 * 64 * 4,
+               flops_per_item=2 * 64 * 64)
+        dt = chained_time(lambda t: RT.dct(t, norm="ortho"), xj, k=32,
+                          calls=8)
+        record("dct-II n=64 sustained (chain k=32)", BIG, "f32", BIG, dt,
+               med, p99, "rows/s", bytes_per_item=2 * 64 * 4,
+               flops_per_item=2 * 64 * 64)
+        del xj, x  # free before staging the big-n operand
+        nfft = 65536
+        x2 = rng.standard_normal((nfft, 2048)).astype(np.float32)
+        x2j = jax.device_put(jnp.asarray(x2))
+        f2 = jax.jit(lambda t: RT.dct(t, norm="ortho"))
+        dt2 = honest_time(f2, x2j)
+        med2, p992 = rel_err(np.asarray(f2(x2j[:1024])),
+                             sfft.dct(x2[:1024].astype(np.float64),
+                                      norm="ortho"))
+        record("dct-II n=2048 ortho (MXU)", nfft, "f32", nfft, dt2, med2,
+               p992, "rows/s", bytes_per_item=2 * 2048 * 4,
+               flops_per_item=2 * 2048 * 2048)
+        del x2j, x2
+
+    # --- expm / logm SE(3)-ish 4x4 ------------------------------------------
+    if on("lie"):
+        X = rng.standard_normal((BIG, 4, 4)).astype(np.float32) * 0.5
+        Xj = jax.device_put(jnp.asarray(X))
+        f = jax.jit(L.expm)
+        dt = honest_time(f, Xj, calls=8)
+        want = np.stack([sla.expm(np.asarray(m, np.float64))
+                         for m in X[:256]])
+        med, p99 = rel_err(np.asarray(f(Xj[:256])), want)
+        record("expm 4x4", BIG, "f32", BIG, dt, med, p99, "expm/s",
+               bytes_per_item=2 * 16 * 4)
+        # sustained: X <- 0.5 * expm(0.5 X) recurrences stay bounded
+        dt = chained_time(lambda x: 0.5 * L.expm(x * 0.5), Xj, k=16, calls=8)
+        record("expm 4x4 sustained (chain k=16)", BIG, "f32", BIG, dt, med,
+               p99, "expm/s", bytes_per_item=2 * 16 * 4)
+        # logm inputs built on device (expm), accuracy = roundtrip vs X
+        Ej = f(Xj)
+        f = jax.jit(L.logm)
+        dt = honest_time(f, Ej, calls=8)
+        med, p99 = rel_err(np.asarray(f(Ej[:8192])),
+                           np.asarray(Xj[:8192], np.float64))
+        record("logm 4x4 (batched ISS)", BIG, "f32", BIG, dt, med, p99,
+               "logm/s", bytes_per_item=2 * 16 * 4)
+        # sustained: expm(logm(E)) * c roundtrip chain
+        dt = chained_time(lambda e: L.expm(L.logm(e) * 0.999), Ej, k=4,
+                          calls=4)
+        record("logm+expm 4x4 sustained (chain k=4)", BIG, "f32", BIG,
+               2 * dt, med, p99, "logm/s", bytes_per_item=2 * 16 * 4)
+        del Xj, Ej
+
+    # --- nan reductions ------------------------------------------------------
+    if on("reduce"):
+        xx = rng.standard_normal((BIG, 64)).astype(np.float32)
+        xx[rng.random(xx.shape) < 0.2] = np.nan
+        xj = jax.device_put(jnp.asarray(xx))
+        f = jax.jit(lambda t: R.nansum(t, dim=-1))
+        dt = honest_time(f, xj)
+        med, p99 = rel_err(np.asarray(f(xj[:65536])),
+                           np.nansum(xx[:65536].astype(np.float64), -1))
+        record("nansum dim=-1", BIG, "f32", BIG * 64, dt, med, p99, "elem/s",
+               bytes_per_item=4 + 4 / 64)
+        del xj, xx
+
+    # --- small-n dense solves (unrolled PLU / cholesky tiers) ---------------
+    if on("batched"):
+        from fastmath_tpu.ops import sugar as SU
+        n8 = 8
+        a8 = spd_batch(rng, MID, n8)
+        b8 = rng.standard_normal((MID, n8, 2)).astype(np.float32)
+        a8j = jax.device_put(jnp.asarray(a8))
+        b8j = jax.device_put(jnp.asarray(b8))
+        want8 = np.linalg.solve(a8[:2048].astype(np.float64),
+                                b8[:2048].astype(np.float64))
+        for meth in ("lu", "chol"):
+            f = jax.jit(lambda a, b, m=meth: SU.lmdiv(a, b, method=m))
+            dt = honest_time(f, a8j, b8j)
+            med, p99 = rel_err(np.asarray(f(a8j[:2048], b8j[:2048])), want8)
+            record(f"lmdiv {meth} 8x8", MID, "f32", MID, dt, med, p99,
+                   "solves/s", bytes_per_item=(64 + 16 + 16) * 4)
+        del a8, b8, a8j, b8j
+
+    # --- bf16 input rows (BASELINE configs[3] extended to [0]/[2]) ----------
+    if on("bf16"):
+        spd = spd_batch(rng, BIG, 4)
+        compact = np.asarray(full_to_sym(jnp.asarray(spd)))
+        vec = rng.standard_normal((BIG, 4)).astype(np.float32)
+        want = np.linalg.solve(spd[:8192].astype(np.float64),
+                               vec[:8192].astype(np.float64)[..., None]
+                               )[..., 0]
+        mh = jax.device_put(jnp.asarray(compact).astype(jnp.bfloat16))
+        vh = jax.device_put(jnp.asarray(vec).astype(jnp.bfloat16))
+        f = jax.jit(F.sym_solve)
+        dt = honest_time(f, mh, vh)
+        got = np.asarray(f(mh[:8192], vh[:8192]).astype(jnp.float32))
+        med, p99 = rel_err(got, want)
+        # bf16 inputs: the dominant error is the half rounding of the
+        # operands themselves (~8-bit mantissa), not the f32 compute
+        record("sym_solve 4x4 (bf16 in, f32 compute)", BIG, "bf16", BIG, dt,
+               med, p99, "solves/s", bytes_per_item=(10 + 4 + 4) * 2,
+               nw_max=normwise(got, want))
+        a3 = spd_batch(rng, BIG, 3)
+        a3h = jax.device_put(jnp.asarray(a3).astype(jnp.bfloat16))
+        f = jax.jit(B_.batchinv)
+        dt = honest_time(f, a3h)
+        med, p99 = rel_err(np.asarray(f(a3h[:4096]).astype(jnp.float32)),
+                           np.linalg.inv(a3[:4096].astype(np.float64)))
+        record("batchinv 3x3 (bf16 in, f32 compute)", BIG, "bf16", BIG, dt,
+               med, p99, "inv/s", bytes_per_item=2 * 9 * 2)
+        a4h = jax.device_put(jnp.asarray(spd[:MID]).astype(jnp.bfloat16))
+        f = jax.jit(lambda x: Q.eig_sym(x, check_finite=False))
+        dt = honest_time(f, a4h, calls=8)
+        wh = np.sort(np.asarray(f(a4h[:4096]).astype(jnp.float32)), -1)
+        ww4 = np.sort(np.linalg.eigvalsh(spd[:4096].astype(np.float64)), -1)
+        med, p99 = rel_err(wh, ww4)
+        record("eig_sym 4x4 (bf16 in, f32 compute)", MID, "bf16", MID, dt,
+               med, p99, "eig/s", bytes_per_item=(16 + 4) * 2)
+        del spd, compact, vec, mh, vh, a3, a3h, a4h
 
     # ---- write tables -------------------------------------------------------
     lines = [
@@ -351,29 +560,46 @@ def main():
         "",
         "**One methodology for every row** (identical to `bench.py`):",
         "32 pipelined jitted calls on device-resident operands, drained by",
-        "one scalar fetch (dt = total/32); channel-first Pallas kernels at",
-        "block=32768 for N<=4 (the PLU tier uses its VMEM-sized defaults);",
-        "rel-err vs float64 numpy/scipy oracles on a slice (random-Wishart",
-        "inputs; the p99/median spread reflects conditioning, not kernel",
-        "error). Every row reproduces with `python bench/suite.py`.",
+        "one scalar fetch (dt = total/32); rel-err vs float64 numpy/scipy",
+        "oracles on a slice (random-Wishart inputs; the p99/median spread",
+        "reflects conditioning, not kernel error). Solve rows add",
+        "`nw_max`, the worst per-solve normwise error ||x-x*||/||x*|| —",
+        "the standard solve criterion (elementwise max is dominated by",
+        "near-zero solution components). Every kernel family also has a",
+        "**sustained** row: k dependent full-batch applications per",
+        "dispatch (lax.scan), amortizing the ~1 ms non-overlappable relay",
+        "dispatch cost that bounds every single-dispatch row at these",
+        "working-set sizes (<= 100 MB) — sustained is the rate iterative",
+        "production workloads see. Rows reproduce with",
+        "`python bench/suite.py`.",
         "",
-        f"Stream ceiling measured this session: "
+        f"Ceilings measured this session: stream "
         f"**{CEILING[0] / 1e9:.1f} GB/s** (jitted elementwise x*a+b over"
-        " 512 MB, read+write). `bytes/item` is the op's minimal HBM",
-        "traffic; `util` is achieved bandwidth over that ceiling —",
-        "memory-bound ops are at speed-of-light when util approaches 100%.",
+        f" 1 GB, read+write), MXU f32 **{MXU_CEILING[0] / 1e12:.1f}"
+        " TFLOP/s** (chained 4096^3 GEMM). `bytes/item` is the op's",
+        "minimal HBM traffic; `util` is achieved bandwidth over the",
+        "stream ceiling. Compute-bound rows (dct basis matmuls) report",
+        "TFLOP/s against the MXU ceiling instead — at n=2048 the",
+        "transform is FLOP-limited, and `util%` would misread as idle",
+        "(round-2 VERDICT weak-item 3). eig/expm/logm are VPU-compute-",
+        "bound register kernels: their byte-util is expected to sit far",
+        "below the stream ceiling at speed-of-light.",
         "",
         "| op | batch | dtype | throughput | unit | rel-err med | p99 |"
-        " bytes/item | GB/s | util |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        " nw max | bytes/item | GB/s | util | TFLOP/s | MXU |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in RESULTS:
         bw = (f"{r['bytes_per_item']:.0f} | {r['gbps']:.1f} | "
               f"{100 * r['util']:.0f}% " if r.get("gbps") else " | | ")
+        fl = (f"{r['tflops']:.1f} | {100 * r['mxu_util']:.0f}% "
+              if r.get("tflops") else " | ")
+        nw = (f"{r['normwise_max']:.1e}" if r.get("normwise_max") is not None
+              else "")
         lines.append(
             f"| {r['op']} | {r['batch']} | {r['dtype']} | "
             f"{r['throughput']:.3e} | {r['unit']} | {r['relerr_median']:.1e} "
-            f"| {r['relerr_p99']:.1e} | {bw}|"
+            f"| {r['relerr_p99']:.1e} | {nw} | {bw}| {fl}|"
         )
     Path(args.out).write_text("\n".join(lines) + "\n")
     Path(args.out).with_suffix(".json").write_text(json.dumps(RESULTS, indent=1))

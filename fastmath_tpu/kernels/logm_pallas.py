@@ -145,27 +145,44 @@ def _logm_kernel(d, order, db_tol, mat_ref, out_ref):
 
     def iss_cond(carry):
         Af = _unflatten(carry[0], d)
-        return (carry[2] < _ISS_MAX) & any_active(
+        return (carry[3] < _ISS_MAX) & any_active(
             dist2(Af), _THRESH * _THRESH
         )
 
     def iss_body(carry):
         Af = _unflatten(carry[0], d)
-        k = carry[1]
+        Df = _unflatten(carry[1], d)
+        k = carry[2]
         d2 = dist2(Af)
         need = jnp.isfinite(d2) & (d2 > _THRESH * _THRESH)
         As = sqrt_db(Af)
+        # cancellation-free difference tracking (Al-Mohy & Higham
+        # 2012 recurrence): A_k - I = (A_{k-1} - I)(A_k + I)^{-1} —
+        # subtracting I from the computed A_k ~ I + X/2^k would lose
+        # ~k + log2(1/||X||) bits (the round-2 f32 tail, VERDICT #9)
+        AsI = [
+            [As[i][j] + eye[i][j] for j in range(d)] for i in range(d)
+        ]
+        Ds = _mm_grid(Df, _inv_grid(AsI, d), d)
         An = [
             [jnp.where(need, As[i][j], Af[i][j]) for j in range(d)]
             for i in range(d)
         ]
-        return _flatten(An, d), k + need.astype(k.dtype), carry[2] + 1
+        Dn = [
+            [jnp.where(need, Ds[i][j], Df[i][j]) for j in range(d)]
+            for i in range(d)
+        ]
+        return (_flatten(An, d), _flatten(Dn, d),
+                k + need.astype(k.dtype), carry[3] + 1)
 
     k0 = jnp.zeros_like(A[0][0])
-    flat, k, _ = jax.lax.while_loop(
-        iss_cond, iss_body, (_flatten(A, d), k0, jnp.asarray(0))
+    D0 = [[A[i][j] - eye[i][j] for j in range(d)] for i in range(d)]
+    flat, dflat, k, _ = jax.lax.while_loop(
+        iss_cond, iss_body,
+        (_flatten(A, d), _flatten(D0, d), k0, jnp.asarray(0)),
     )
     A = _unflatten(flat, d)
+    Am = _unflatten(dflat, d)  # accurately-tracked A - I
     # flag lanes whose square-root chain never reached the series
     # region (eigenvalues on the negative real axis): NaN them so the
     # public op can reroute exactly those through its exceptional path
@@ -174,7 +191,6 @@ def _logm_kernel(d, order, db_tol, mat_ref, out_ref):
 
     # log(A) = 2 atanh(Z), Z = (A - I)(A + I)^{-1}; Gregory series
     Ap = [[A[i][j] + eye[i][j] for j in range(d)] for i in range(d)]
-    Am = [[A[i][j] - eye[i][j] for j in range(d)] for i in range(d)]
     Z = _mm_grid(Am, _inv_grid(Ap, d), d)
     Z2 = _mm_grid(Z, Z, d)
     acc = [[eye[i][j] / order for j in range(d)] for i in range(d)]

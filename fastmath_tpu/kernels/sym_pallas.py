@@ -285,22 +285,76 @@ def _invert_kernel(n, mat_ref, out_ref):
 # ---------------------------------------------------------------------------
 
 
-def _call_rows(kernel, in_arrays, out_rows, block, interpret, diag_rows=0):
+class _Row4:
+    """Adapter presenting a block-major 4-D ref ``(1, rows, bb, 128)``
+    with the row-indexed interface the kernel bodies use (``ref[i]`` ->
+    lane block ``(bb, 128)``), so one kernel body serves both grids."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, i):
+        return self._ref[0, i]
+
+    def __setitem__(self, i, v):
+        self._ref[0, i] = v
+
+
+def _call_rows(kernel, in_arrays, out_rows, block, interpret, diag_rows=0,
+               bm=False):
     """Run ``kernel`` over blocks of lanes: inputs ``(rows_i, B)`` ->
     output ``(out_rows, B)``.
 
-    Layout trick: each ``(rows, B)`` operand is viewed as
-    ``(rows, B/128, 128)`` (a free row-major reshape) so the *tiled*
-    trailing dims are exactly ``(B/128, 128)`` — zero sublane/lane
-    padding in HBM and VMEM, full-bandwidth DMA. Leaving the channel
-    axis minor-most-2 (as ``(rows, B)``) would pad rows to the 8-sublane
-    tile (10 -> 16, 4 -> 8) and waste ~40% of every transaction.
+    Layout trick (``bm=False``, channel-first-resident data): each
+    ``(rows, B)`` operand is viewed as ``(rows, B/128, 128)`` (a free
+    row-major reshape) so the *tiled* trailing dims are exactly
+    ``(B/128, 128)`` — zero sublane/lane padding in HBM and VMEM.
+    Leaving the channel axis minor-most-2 (as ``(rows, B)``) would pad
+    rows to the 8-sublane tile (10 -> 16, 4 -> 8) and waste ~40% of
+    every transaction. Each grid step still issues one strided DMA per
+    row (rows are B elements apart in HBM), which caps multi-row
+    kernels at ~120-160 GB/s (CLAUDE.md, round-2 measurement).
+
+    ``bm=True`` is the **block-major repack**: operands are physically
+    rearranged to ``(nblocks, rows, bb, 128)`` so each grid step's
+    entire input is one contiguous HBM slab (flat-DMA rate, ~2x the
+    per-row strided rate for multi-row kernels). The repack itself is
+    one fused XLA relayout pass; when the caller's data is batch-major
+    ``(B, rows)`` (the public API layout) the lazy transpose it feeds
+    us *composes* with the repack into a single block-local transpose
+    — this is how the public ops route to the native tier without a
+    separate global transpose (VERDICT r2 items 1/8).
     """
     block = max(128, (block // 128) * 128)
     (padded, b) = _pad_to_block(list(in_arrays), block, diag_rows=diag_rows)
     bp = padded[0].shape[-1]
-    grid = (bp // block,)
+    nblocks = bp // block
+    grid = (nblocks,)
     bb = block // 128
+    if bm:
+        padded = [
+            a.reshape(a.shape[0], nblocks, bb, 128).transpose(1, 0, 2, 3)
+            for a in padded
+        ]
+        in_specs = [
+            pl.BlockSpec((1, a.shape[1], bb, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for a in padded
+        ]
+        wrapped = lambda *refs: kernel(*(_Row4(r) for r in refs))  # noqa: E731
+        out = pl.pallas_call(
+            wrapped,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, out_rows, bb, 128),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nblocks, out_rows, bb, 128),
+                                           padded[0].dtype),
+            interpret=interpret,
+        )(*padded)
+        out = out.transpose(1, 0, 2, 3).reshape(out_rows, bp)
+        return out[:, :b]
     padded = [a.reshape(a.shape[0], bp // 128, 128) for a in padded]
     in_specs = [
         pl.BlockSpec((a.shape[0], bb, 128), lambda i: (0, i, 0),
@@ -332,24 +386,25 @@ def _prep_eps(eps, n, dtype):
 # --- solve -----------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _solve_cf(mat, vec, eps_tuple, block, interpret, refine):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _solve_cf(mat, vec, eps_tuple, block, interpret, refine, bm=False):
     n = vec.shape[0]
     kern = functools.partial(_solve_kernel, n, eps_tuple, refine)
-    return _call_rows(kern, (mat, vec), n, block, interpret, diag_rows=n)
+    return _call_rows(kern, (mat, vec), n, block, interpret, diag_rows=n,
+                      bm=bm)
 
 
-def _solve_cf_fwd(mat, vec, eps_tuple, block, interpret, refine):
-    x = _solve_cf(mat, vec, eps_tuple, block, interpret, refine)
+def _solve_cf_fwd(mat, vec, eps_tuple, block, interpret, refine, bm=False):
+    x = _solve_cf(mat, vec, eps_tuple, block, interpret, refine, bm)
     return x, (mat, x)
 
 
-def _solve_cf_bwd(eps_tuple, block, interpret, refine, res, g):
+def _solve_cf_bwd(eps_tuple, block, interpret, refine, bm, res, g):
     # x = A^{-1} v  =>  dv = A^{-1} g (A symmetric);  dA = -dv x^T,
     # compacted: diag_i = -dv_i x_i, offdiag (i<j) = -(dv_i x_j + dv_j x_i)
     mat, x = res
     n = x.shape[0]
-    dv = _solve_cf(mat, g, eps_tuple, block, interpret, refine)
+    dv = _solve_cf(mat, g, eps_tuple, block, interpret, refine, bm)
     rows = [-dv[i] * x[i] for i in range(n)]
     for i in range(n):
         for j in range(i + 1, n):
@@ -368,6 +423,7 @@ def sym_solve_cf(
     block: Optional[int] = None,
     interpret: Optional[bool] = None,
     refine: Optional[int] = None,
+    bm: bool = False,
 ) -> jnp.ndarray:
     r"""Channel-first compact-symmetric solve ``A \ v``:
     ``mat (NN, ...)``, ``vec (N, ...)`` -> ``(N, ...)``.
@@ -403,30 +459,30 @@ def sym_solve_cf(
     m2 = mat.reshape(mat.shape[0], -1)
     v2 = vec.reshape(n, -1)
     out = _solve_cf(m2, v2, _prep_eps(eps, n, dtype), block, bool(interpret),
-                    int(refine))
+                    int(refine), bool(bm))
     return _downcast(out.reshape(n, *batch_shape), half)
 
 
 # --- matvec ----------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _matvec_cf(mat, vec, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _matvec_cf(mat, vec, block, interpret, bm=False):
     n = vec.shape[0]
     kern = functools.partial(_matvec_kernel, n)
-    return _call_rows(kern, (mat, vec), n, block, interpret)
+    return _call_rows(kern, (mat, vec), n, block, interpret, bm=bm)
 
 
-def _matvec_cf_fwd(mat, vec, block, interpret):
-    return _matvec_cf(mat, vec, block, interpret), (mat, vec)
+def _matvec_cf_fwd(mat, vec, block, interpret, bm=False):
+    return _matvec_cf(mat, vec, block, interpret, bm), (mat, vec)
 
 
-def _matvec_cf_bwd(block, interpret, res, g):
+def _matvec_cf_bwd(block, interpret, bm, res, g):
     # y = A v: dv = A g (symmetric); dA compact: diag_i = g_i v_i,
     # offdiag (i<j) = g_i v_j + g_j v_i
     mat, vec = res
     n = vec.shape[0]
-    dv = _matvec_cf(mat, g, block, interpret)
+    dv = _matvec_cf(mat, g, block, interpret, bm)
     rows = [g[i] * vec[i] for i in range(n)]
     for i in range(n):
         for j in range(i + 1, n):
@@ -442,6 +498,7 @@ def sym_matvec_cf(
     vec: jnp.ndarray,
     block: int = DEFAULT_BLOCK,
     interpret: Optional[bool] = None,
+    bm: bool = False,
 ) -> jnp.ndarray:
     """Channel-first compact-symmetric matvec ``A @ v``:
     ``mat (NN, ...)``, ``vec (N, ...)`` -> ``(N, ...)`` (Pallas)."""
@@ -459,27 +516,27 @@ def sym_matvec_cf(
     mat = jnp.broadcast_to(mat.astype(dtype), (mat.shape[0], *batch_shape))
     vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
     out = _matvec_cf(mat.reshape(mat.shape[0], -1), vec.reshape(n, -1),
-                     block, bool(interpret))
+                     block, bool(interpret), bool(bm))
     return _downcast(out.reshape(n, *batch_shape), half)
 
 
 # --- invert ----------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _invert_cf(mat, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _invert_cf(mat, block, interpret, bm=False):
     n = sym_dim(mat.shape[0])
     kern = functools.partial(_invert_kernel, n)
     return _call_rows(kern, (mat,), mat.shape[0], block, interpret,
-                      diag_rows=n)
+                      diag_rows=n, bm=bm)
 
 
-def _invert_cf_fwd(mat, block, interpret):
-    y = _invert_cf(mat, block, interpret)
+def _invert_cf_fwd(mat, block, interpret, bm=False):
+    y = _invert_cf(mat, block, interpret, bm)
     return y, y
 
 
-def _invert_cf_bwd(block, interpret, y, g):
+def _invert_cf_bwd(block, interpret, bm, y, g):
     # Y = inv(A) read from the upper triangle: with Gbar[i,j] = g_k for
     # i <= j (0 below), Abar_full = -Y Gbar Y, and the compact cotangent
     # folds (i, j) + (j, i). Trace-time n^4 loop (n <= 4).
@@ -511,6 +568,7 @@ def sym_invert_cf(
     mat: jnp.ndarray,
     block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    bm: bool = False,
 ) -> jnp.ndarray:
     """Channel-first compact-symmetric inverse ``(NN, ...) -> (NN, ...)``
     (Pallas; adjugate N <= 4, in-register unrolled pivoted LU against
@@ -526,7 +584,7 @@ def sym_invert_cf(
         interpret = _interpret_default()
     batch_shape = mat.shape[1:]
     m2 = mat.reshape(nn, -1)
-    out = _invert_cf(m2, block, bool(interpret))
+    out = _invert_cf(m2, block, bool(interpret), bool(bm))
     return _downcast(out.reshape(nn, *batch_shape), half)
 
 
@@ -543,22 +601,23 @@ def _accmatvec_kernel(n, sign, acc_ref, mat_ref, vec_ref, out_ref):
         out_ref[i] = acc_ref[i] + sign * mv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _accmatvec_cf(acc, mat, vec, sign, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _accmatvec_cf(acc, mat, vec, sign, block, interpret, bm=False):
     n = vec.shape[0]
     kern = functools.partial(_accmatvec_kernel, n, sign)
-    return _call_rows(kern, (acc, mat, vec), n, block, interpret)
+    return _call_rows(kern, (acc, mat, vec), n, block, interpret, bm=bm)
 
 
-def _accmatvec_cf_fwd(acc, mat, vec, sign, block, interpret):
-    return _accmatvec_cf(acc, mat, vec, sign, block, interpret), (mat, vec)
+def _accmatvec_cf_fwd(acc, mat, vec, sign, block, interpret, bm=False):
+    return (_accmatvec_cf(acc, mat, vec, sign, block, interpret, bm),
+            (mat, vec))
 
 
-def _accmatvec_cf_bwd(sign, block, interpret, res, g):
+def _accmatvec_cf_bwd(sign, block, interpret, bm, res, g):
     # y = acc +/- A v: dacc = g, dv = +/- A g, dA compact as in matvec
     mat, vec = res
     n = vec.shape[0]
-    dv = _matvec_cf(mat, g, block, interpret)
+    dv = _matvec_cf(mat, g, block, interpret, bm)
     if sign < 0:
         dv = -dv
     rows = [sign * g[i] * vec[i] for i in range(n)]
@@ -571,7 +630,7 @@ def _accmatvec_cf_bwd(sign, block, interpret, res, g):
 _accmatvec_cf.defvjp(_accmatvec_cf_fwd, _accmatvec_cf_bwd)
 
 
-def _accmatvec_public(acc, mat, vec, sign, block, interpret, name):
+def _accmatvec_public(acc, mat, vec, sign, block, interpret, name, bm=False):
     acc, mat, vec, half = upcast_half(acc, mat, vec)
     n = vec.shape[0]
     if mat.shape[0] != compact_size(n):
@@ -588,7 +647,8 @@ def _accmatvec_public(acc, mat, vec, sign, block, interpret, name):
     mat = jnp.broadcast_to(mat.astype(dtype), (mat.shape[0], *batch_shape))
     vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
     out = _accmatvec_cf(acc.reshape(n, -1), mat.reshape(mat.shape[0], -1),
-                        vec.reshape(n, -1), sign, block, bool(interpret))
+                        vec.reshape(n, -1), sign, block, bool(interpret),
+                        bool(bm))
     return _downcast(out.reshape(n, *batch_shape), half)
 
 
@@ -598,6 +658,7 @@ def sym_addmatvec_cf(
     vec: jnp.ndarray,
     block: int = DEFAULT_BLOCK,
     interpret: Optional[bool] = None,
+    bm: bool = False,
 ) -> jnp.ndarray:
     """Channel-first fused ``acc + A @ v`` (Pallas; one memory pass).
 
@@ -605,7 +666,7 @@ def sym_addmatvec_cf(
     ``sym.py:28-37``).
     """
     return _accmatvec_public(acc, mat, vec, 1.0, block, interpret,
-                             "sym_addmatvec")
+                             "sym_addmatvec", bm)
 
 
 def sym_submatvec_cf(
@@ -614,13 +675,14 @@ def sym_submatvec_cf(
     vec: jnp.ndarray,
     block: int = DEFAULT_BLOCK,
     interpret: Optional[bool] = None,
+    bm: bool = False,
 ) -> jnp.ndarray:
     """Channel-first fused ``acc - A @ v`` (Pallas; one memory pass).
 
     Native-tier analog of jitfields ``sym_submatvec``.
     """
     return _accmatvec_public(acc, mat, vec, -1.0, block, interpret,
-                             "sym_submatvec")
+                             "sym_submatvec", bm)
 
 
 # --- compact outer product --------------------------------------------------
@@ -635,18 +697,18 @@ def _outer_kernel(n, x_ref, out_ref):
             out_ref[tri_index(i, j, n)] = x[i] * x[j]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _outer_cf(x, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _outer_cf(x, block, interpret, bm=False):
     n = x.shape[0]
     kern = functools.partial(_outer_kernel, n)
-    return _call_rows(kern, (x,), compact_size(n), block, interpret)
+    return _call_rows(kern, (x,), compact_size(n), block, interpret, bm=bm)
 
 
-def _outer_cf_fwd(x, block, interpret):
-    return _outer_cf(x, block, interpret), x
+def _outer_cf_fwd(x, block, interpret, bm=False):
+    return _outer_cf(x, block, interpret, bm), x
 
 
-def _outer_cf_bwd(block, interpret, x, g):
+def _outer_cf_bwd(block, interpret, bm, x, g):
     # y_ii = x_i^2, y_ij = x_i x_j:
     # dx_i = 2 g_i x_i + sum_{j != i} g_{tri(i,j)} x_j
     n = x.shape[0]
@@ -667,6 +729,7 @@ def sym_outer_cf(
     x: jnp.ndarray,
     block: int = DEFAULT_BLOCK,
     interpret: Optional[bool] = None,
+    bm: bool = False,
 ) -> jnp.ndarray:
     """Channel-first compact outer product ``x x^T``:
     ``(N, ...) -> (NN, ...)`` (Pallas).
@@ -679,7 +742,7 @@ def sym_outer_cf(
     if interpret is None:
         interpret = _interpret_default()
     batch_shape = x.shape[1:]
-    out = _outer_cf(x.reshape(n, -1), block, bool(interpret))
+    out = _outer_cf(x.reshape(n, -1), block, bool(interpret), bool(bm))
     return _downcast(out.reshape(compact_size(n), *batch_shape), half)
 
 
@@ -704,18 +767,19 @@ def _det_sym_kernel(n, mat_ref, out_ref):
     out_ref[0] = _det_expand(E, idx, idx, {})
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _det_sym_cf(mat, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _det_sym_cf(mat, block, interpret, bm=False):
     n = sym_dim(mat.shape[0])
     kern = functools.partial(_det_sym_kernel, n)
-    return _call_rows(kern, (mat,), 1, block, interpret, diag_rows=n)[0]
+    return _call_rows(kern, (mat,), 1, block, interpret, diag_rows=n,
+                      bm=bm)[0]
 
 
-def _det_sym_cf_fwd(mat, block, interpret):
-    return _det_sym_cf(mat, block, interpret), mat
+def _det_sym_cf_fwd(mat, block, interpret, bm=False):
+    return _det_sym_cf(mat, block, interpret, bm), mat
 
 
-def _det_sym_cf_bwd(block, interpret, mat, g):
+def _det_sym_cf_bwd(block, interpret, bm, mat, g):
     # d det / d compact: diag slot i -> cof(i, i); offdiag slot (i, j)
     # -> 2 cof(i, j) (the entry appears at (i, j) and (j, i)).
     from ..ops.sym import _det_expand
@@ -724,8 +788,8 @@ def _det_sym_cf_bwd(block, interpret, mat, g):
     if n > 4:
         # cof = det * inv (symmetric): one compact det + one compact
         # inverse through the same Pallas tier
-        det = _det_sym_cf(mat, block, interpret)
-        inv = _invert_cf(mat, block, interpret)
+        det = _det_sym_cf(mat, block, interpret, bm)
+        inv = _invert_cf(mat, block, interpret, bm)
         gd = g * det
         rows = [gd * inv[i] for i in range(n)]
         for i in range(n):
@@ -757,6 +821,7 @@ def sym_det_cf(
     mat: jnp.ndarray,
     block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    bm: bool = False,
 ) -> jnp.ndarray:
     """Channel-first compact-symmetric determinant ``(NN, ...) -> (...)``
     (Pallas; adjugate N <= 4, in-register pivoted LU 5 <= N <= 8).
@@ -773,7 +838,7 @@ def sym_det_cf(
     if interpret is None:
         interpret = _interpret_default()
     batch_shape = mat.shape[1:]
-    out = _det_sym_cf(mat.reshape(nn, -1), block, bool(interpret))
+    out = _det_sym_cf(mat.reshape(nn, -1), block, bool(interpret), bool(bm))
     return _downcast(out.reshape(batch_shape), half)
 
 
@@ -803,18 +868,19 @@ def _jhj_kernel(k, d, j_ref, h_ref, out_ref):
             out_ref[tri_index(i, jj, d)] = acc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _jhj_cf(j2, h2, d, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _jhj_cf(j2, h2, d, block, interpret, bm=False):
     k = sym_dim(h2.shape[0])
     kern = functools.partial(_jhj_kernel, k, d)
-    return _call_rows(kern, (j2, h2), compact_size(d), block, interpret)
+    return _call_rows(kern, (j2, h2), compact_size(d), block, interpret,
+                      bm=bm)
 
 
-def _jhj_cf_fwd(j2, h2, d, block, interpret):
-    return _jhj_cf(j2, h2, d, block, interpret), (j2, h2)
+def _jhj_cf_fwd(j2, h2, d, block, interpret, bm=False):
+    return _jhj_cf(j2, h2, d, block, interpret, bm), (j2, h2)
 
 
-def _jhj_cf_bwd(d, block, interpret, res, g):
+def _jhj_cf_bwd(d, block, interpret, bm, res, g):
     # out[(i,jj)] = sum_ab J[a,i] H[a,b] J[b,jj]  (H symmetric).
     # With Gf the symmetric expansion of the compact cotangent
     # (Gf[i][i] = g_i, Gf[i][j] = g_(i,j) for i != j):
@@ -873,6 +939,7 @@ def sym_matmul_cf(
     h: jnp.ndarray,
     block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    bm: bool = False,
 ) -> jnp.ndarray:
     """Channel-first congruence product ``J^T H J``:
     ``j (K*D, ...)`` row-major full, ``h (K(K+1)/2, ...)`` compact ->
@@ -901,5 +968,5 @@ def sym_matmul_cf(
     j = jnp.broadcast_to(j.astype(dtype), (j.shape[0], *batch_shape))
     h = jnp.broadcast_to(h.astype(dtype), (h.shape[0], *batch_shape))
     out = _jhj_cf(j.reshape(j.shape[0], -1), h.reshape(h.shape[0], -1),
-                  d, block, bool(interpret))
+                  d, block, bool(interpret), bool(bm))
     return _downcast(out.reshape(compact_size(d), *batch_shape), half)

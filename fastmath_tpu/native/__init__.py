@@ -24,6 +24,8 @@ __all__ = [
     "set_num_threads",
     "get_num_threads",
     "sym_matvec_np",
+    "sym_addmatvec_np",
+    "sym_submatvec_np",
     "sym_solve_np",
     "sym_invert_np",
 ]
@@ -77,6 +79,10 @@ def _load() -> Optional[ctypes.CDLL]:
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     for suffix, p in (("f32", f32p), ("f64", f64p)):
         getattr(lib, f"sym_matvec_{suffix}").argtypes = [p, p, p, i64, i32]
+        getattr(lib, f"sym_addmatvec_{suffix}").argtypes = [p, p, p, p, i64,
+                                                            i32]
+        getattr(lib, f"sym_submatvec_{suffix}").argtypes = [p, p, p, p, i64,
+                                                            i32]
         getattr(lib, f"sym_solve_{suffix}").argtypes = [p, p, p, i64, i32]
         getattr(lib, f"sym_invert_{suffix}").argtypes = [p, p, i64, i32]
     lib.fastmath_num_threads.restype = i32
@@ -136,6 +142,35 @@ def sym_matvec_np(mat: np.ndarray, vec: np.ndarray) -> np.ndarray:
     return out
 
 
+def _sym_accmatvec_np(acc, mat, vec, name):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    mat, vec, suffix = _prep(mat, vec)
+    acc = np.ascontiguousarray(acc, dtype=mat.dtype)
+    n = vec.shape[-1]
+    batch = int(np.prod(mat.shape[:-1], dtype=np.int64))
+    out = np.empty_like(vec)
+    getattr(lib, f"{name}_{suffix}")(
+        acc.reshape(batch, n), mat.reshape(batch, -1),
+        vec.reshape(batch, n), out.reshape(batch, n), batch, n)
+    return out
+
+
+def sym_addmatvec_np(acc: np.ndarray, mat: np.ndarray,
+                     vec: np.ndarray) -> np.ndarray:
+    """Fused ``acc + A @ v`` on numpy arrays (jitfields
+    ``sym_addmatvec``, reference ``sym.py:28-35``)."""
+    return _sym_accmatvec_np(acc, mat, vec, "sym_addmatvec")
+
+
+def sym_submatvec_np(acc: np.ndarray, mat: np.ndarray,
+                     vec: np.ndarray) -> np.ndarray:
+    """Fused ``acc - A @ v`` on numpy arrays (jitfields
+    ``sym_submatvec``)."""
+    return _sym_accmatvec_np(acc, mat, vec, "sym_submatvec")
+
+
 def sym_solve_np(mat: np.ndarray, vec: np.ndarray) -> np.ndarray:
     """Batched compact-sym solve on numpy arrays (closed form n <= 4,
     LDL^T beyond, n <= 64)."""
@@ -155,14 +190,15 @@ def sym_solve_np(mat: np.ndarray, vec: np.ndarray) -> np.ndarray:
 
 
 def sym_invert_np(mat: np.ndarray) -> np.ndarray:
-    """Batched compact-sym inverse on numpy arrays (n <= 4)."""
+    """Batched compact-sym inverse on numpy arrays (closed form
+    n <= 4, LDL^T against identity columns beyond, n <= 64)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     mat, _, suffix = _prep(mat)
     n = _sym_dim(mat.shape[-1])
-    if n > 4:
-        raise ValueError("native sym_invert supports n <= 4")
+    if n > 64:
+        raise ValueError("native sym_invert supports n <= 64")
     batch = int(np.prod(mat.shape[:-1], dtype=np.int64))
     out = np.empty_like(mat)
     getattr(lib, f"sym_invert_{suffix}")(

@@ -77,10 +77,10 @@ T cofactor(const T* a, int j, int i, int n) {
     return ((i + j) % 2) ? -d : d;
 }
 
-// LDL^T solve (no pivoting) for general n, in-place on dense scratch
+// LDL^T factorization (no pivoting) for general n, in-place on dense
+// scratch: a -> L (unit lower, below diag) and D (on the diag)
 template <typename T>
-void ldl_solve(T* a, T* x, int n) {
-    // factor: a -> L (unit lower) and D on the diagonal
+void ldl_factor(T* a, int n) {
     for (int j = 0; j < n; ++j) {
         T d = a[j * n + j];
         for (int k = 0; k < j; ++k)
@@ -93,6 +93,11 @@ void ldl_solve(T* a, T* x, int n) {
             a[i * n + j] = v / d;
         }
     }
+}
+
+// substitution with a factored LDL^T (x in place)
+template <typename T>
+void ldl_substitute(const T* a, T* x, int n) {
     // forward: L y = b
     for (int i = 0; i < n; ++i)
         for (int k = 0; k < i; ++k) x[i] -= a[i * n + k] * x[k];
@@ -101,6 +106,12 @@ void ldl_solve(T* a, T* x, int n) {
     // backward: L^T z = y
     for (int i = n - 1; i >= 0; --i)
         for (int k = i + 1; k < n; ++k) x[i] -= a[k * n + i] * x[k];
+}
+
+template <typename T>
+void ldl_solve(T* a, T* x, int n) {
+    ldl_factor(a, n);
+    ldl_substitute(a, x, n);
 }
 
 template <typename T>
@@ -117,6 +128,27 @@ void sym_matvec_impl(const T* mat, const T* vec, T* out,
             for (int j = 0; j < n; ++j)
                 if (j != i) acc += m[tri_index(i, j, n)] * v[j];
             o[i] = acc;
+        }
+    }
+}
+
+// fused acc +/- A v (jitfields sym_addmatvec / sym_submatvec,
+// reference sym.py:28-35)
+template <typename T>
+void sym_accmatvec_impl(const T* acc, const T* mat, const T* vec, T* out,
+                        int64_t b, int n, T sign) {
+    const int nn = n * (n + 1) / 2;
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < b; ++e) {
+        const T* m = mat + e * nn;
+        const T* v = vec + e * n;
+        const T* c = acc + e * n;
+        T* o = out + e * n;
+        for (int i = 0; i < n; ++i) {
+            T mv = m[i] * v[i];
+            for (int j = 0; j < n; ++j)
+                if (j != i) mv += m[tri_index(i, j, n)] * v[j];
+            o[i] = c[i] + sign * mv;
         }
     }
 }
@@ -158,17 +190,33 @@ void sym_invert_impl(const T* mat, T* out, int64_t b, int n) {
     for (int64_t e = 0; e < b; ++e) {
         const T* m = mat + e * nn;
         T* o = out + e * nn;
-        T a[16];
-        if (n > 4) continue;  // guarded at the Python layer
-        full_from_compact(m, a, n);
-        T inv_det = T(1) / det_n(a, n);
-        int c = n;
-        for (int i = 0; i < n; ++i)
-            for (int j = i; j < n; ++j) {
-                T val = cofactor(a, j, i, n) * inv_det;
-                o[i == j ? i : c] = val;
-                if (i != j) ++c;
+        if (n <= 4) {
+            T a[16];
+            full_from_compact(m, a, n);
+            T inv_det = T(1) / det_n(a, n);
+            int c = n;
+            for (int i = 0; i < n; ++i)
+                for (int j = i; j < n; ++j) {
+                    T val = cofactor(a, j, i, n) * inv_det;
+                    o[i == j ? i : c] = val;
+                    if (i != j) ++c;
+                }
+        } else {
+            // general n (<= 64): one LDL^T factorization, n identity
+            // columns substituted (the reference's invert is exactly n
+            // solves against identity columns, _impl/sym.py:483-493)
+            T dense[64 * 64];
+            T x[64];
+            full_from_compact(m, dense, n);
+            ldl_factor(dense, n);
+            for (int col = 0; col < n; ++col) {
+                for (int i = 0; i < n; ++i) x[i] = (i == col) ? T(1) : T(0);
+                ldl_substitute(dense, x, n);
+                // fill compact column: slots (i, col) for i <= col
+                for (int i = 0; i <= col; ++i)
+                    o[tri_index(i, col, n)] = x[i];
             }
+        }
     }
 }
 
@@ -180,6 +228,18 @@ void sym_matvec_f32(const float* m, const float* v, float* o, int64_t b, int n)
 { sym_matvec_impl(m, v, o, b, n); }
 void sym_matvec_f64(const double* m, const double* v, double* o, int64_t b, int n)
 { sym_matvec_impl(m, v, o, b, n); }
+void sym_addmatvec_f32(const float* a, const float* m, const float* v,
+                       float* o, int64_t b, int n)
+{ sym_accmatvec_impl(a, m, v, o, b, n, 1.0f); }
+void sym_addmatvec_f64(const double* a, const double* m, const double* v,
+                       double* o, int64_t b, int n)
+{ sym_accmatvec_impl(a, m, v, o, b, n, 1.0); }
+void sym_submatvec_f32(const float* a, const float* m, const float* v,
+                       float* o, int64_t b, int n)
+{ sym_accmatvec_impl(a, m, v, o, b, n, -1.0f); }
+void sym_submatvec_f64(const double* a, const double* m, const double* v,
+                       double* o, int64_t b, int n)
+{ sym_accmatvec_impl(a, m, v, o, b, n, -1.0); }
 void sym_solve_f32(const float* m, const float* v, float* o, int64_t b, int n)
 { sym_solve_impl(m, v, o, b, n); }
 void sym_solve_f64(const double* m, const double* v, double* o, int64_t b, int n)

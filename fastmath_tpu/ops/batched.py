@@ -28,7 +28,46 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.dtypes import downcast as _downcast, upcast_half
+from ._routing import use_pallas as _use_pallas
 from .sym import _det_expand  # shared trace-time Laplace expansion
+
+#: largest n served by the Pallas full-matrix tier
+#: (kernels/batched_pallas.py)
+_PALLAS_MAX_N = 8
+
+
+def _route_full(backend, n, dtype, batch, auto=True):
+    """Routing decision for the full-storage batched ops (mirrors
+    ``ops/sym.py:_route_compact``; the native tier serves square real
+    floats with n <= 8)."""
+    supported = (
+        n <= _PALLAS_MAX_N
+        and jnp.issubdtype(jnp.dtype(dtype), jnp.floating)
+    )
+    if backend == "auto" and not auto:
+        return False
+    return _use_pallas(
+        backend,
+        supported=supported,
+        batch=batch,
+        dtype=dtype,
+        small_n=n <= _CLOSED_FORM_MAX,
+        why_unsupported=(
+            f"pallas tier serves square real-float batches with "
+            f"n <= {_PALLAS_MAX_N} (got n={n}, {jnp.dtype(dtype).name})"
+        ),
+    )
+
+
+def _to_channels(a, n):
+    """Lazy channel-first view ``(..., n, n) -> (n*n, ...)`` (row-major
+    channels; composes with the kernels' block-major repack)."""
+    return jnp.moveaxis(a.reshape(*a.shape[:-2], n * n), -1, 0)
+
+
+def _nb(a):
+    """Static batch size of a ``(..., n, n)`` operand."""
+    return int(np.prod(a.shape[:-2], dtype=np.int64))
 
 __all__ = [
     "batchdet",
@@ -192,17 +231,24 @@ def _range_regularizer(a: jnp.ndarray):
     return rnge * 1e-12
 
 
-def batchdet(a: jnp.ndarray) -> jnp.ndarray:
+def batchdet(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """Batched determinant ``(..., n, n) -> (...)``.
 
     Closed form (one fused kernel) for n <= 4, unrolled pivoted LU for
     n <= 8, fori_loop-rolled PLU for n <= 16, ``jnp.linalg.det``
-    beyond. Reference analog: ``_impl/batched.py:21-64``.
+    beyond. ``backend="auto"`` dispatches to the Pallas in-register
+    tier on TPU where it wins (5 <= n <= 8 always; n <= 4 at >= 8M
+    batches — see ``ops/_routing.py``). Reference analog:
+    ``_impl/batched.py:21-64``.
     """
     a, half = upcast_half(a)
     n = a.shape[-1]
     if a.shape[-2] != n:
         raise ValueError("batchdet expects square matrices")
+    if _route_full(backend, n, a.dtype, _nb(a)):
+        from ..kernels.batched_pallas import det_cf
+
+        return _downcast(det_cf(_to_channels(a, n), bm=True), half)
     if n > LU_UNROLL_MAX:
         return _downcast(jnp.linalg.det(a), half)
     if n > _CLOSED_FORM_MAX:
@@ -216,12 +262,17 @@ def batchdet(a: jnp.ndarray) -> jnp.ndarray:
     return _downcast(_det_expand(E, idx, idx, {}), half)
 
 
-def batchinv(a: jnp.ndarray, regularize: bool = False) -> jnp.ndarray:
+def batchinv(
+    a: jnp.ndarray, regularize: bool = False, backend: str = "auto"
+) -> jnp.ndarray:
     """Batched inverse ``(..., n, n) -> (..., n, n)``.
 
     Closed form (adjugate / det) for n <= 4, unrolled pivoted LU for
     n <= 8 (~50x XLA's blocked path on TPU), fori_loop-rolled PLU for
-    n <= 16, ``jnp.linalg.inv`` beyond.
+    n <= 16, ``jnp.linalg.inv`` beyond. ``backend="auto"`` dispatches
+    to the Pallas in-register PLU on TPU where it wins (see
+    :func:`batchdet`; ``regularize=True`` pins the XLA path — the
+    kernel has no determinant-smoothing knob).
     ``regularize=True`` (closed-form path only) enables the reference's range-scaled ``1e-12``
     determinant smoothing (``_impl/batched.py:74-77,93-96``); default off.
     Reference analog: ``_impl/batched.py:67-151``.
@@ -230,6 +281,17 @@ def batchinv(a: jnp.ndarray, regularize: bool = False) -> jnp.ndarray:
     n = a.shape[-1]
     if a.shape[-2] != n:
         raise ValueError("batchinv expects square matrices")
+    if regularize and backend == "pallas":
+        raise ValueError(
+            "backend='pallas' does not implement regularize=True "
+            "(the reference's det smoothing is a closed-form-path knob)"
+        )
+    if not regularize and _route_full(backend, n, a.dtype, _nb(a)):
+        from ..kernels.batched_pallas import inv_cf
+
+        out = inv_cf(_to_channels(a, n), bm=True)
+        out = jnp.moveaxis(out, 0, -1).reshape(*a.shape[:-2], n, n)
+        return _downcast(out, half)
     if n > LU_UNROLL_MAX:
         return _downcast(jnp.linalg.inv(a), half)
     if n > _CLOSED_FORM_MAX:
@@ -356,16 +418,35 @@ def batchrmdiv(
     return jnp.swapaxes(batchlmdiv(bt, at, regularize=regularize), -1, -2)
 
 
-def batchchol(a: jnp.ndarray) -> jnp.ndarray:
+def batchchol(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """Batched lower Cholesky factor of SPD matrices ``(..., n, n)``.
 
-    Fully unrolled Cholesky-Banachiewicz for n <= 8 (one fused
+    Fully unrolled Cholesky-Banachiewicz for n <= 16 (one fused
     elementwise kernel, no per-element control flow); XLA's blocked
-    ``jnp.linalg.cholesky`` beyond. (North-star extension,
-    ``BASELINE.json`` configs[2].)
+    ``jnp.linalg.cholesky`` beyond. ``backend`` as in :func:`batchdet`
+    (the Pallas kernel reads/writes compact storage, so routing adds a
+    pack/unpack pass either side — still a win at 5 <= n <= 8 where
+    the kernel's register-resident factorization dominates).
+    (North-star extension, ``BASELINE.json`` configs[2].)
     """
     a, half = upcast_half(a)
     n = a.shape[-1]
+    if _route_full(backend, n, a.dtype, _nb(a)):
+        from ..kernels.batched_pallas import chol_cf
+        from ..layouts.sym import full_to_sym, tri_index
+
+        comp = jnp.moveaxis(full_to_sym(a), -1, 0)
+        lc = chol_cf(comp, bm=True)  # compact slots, lower factor
+        zero = jnp.zeros_like(lc[0])
+        rows = [
+            jnp.stack(
+                [lc[tri_index(i, j, n)] if j <= i else zero
+                 for j in range(n)],
+                axis=-1,
+            )
+            for i in range(n)
+        ]
+        return _downcast(jnp.stack(rows, axis=-2), half)
     if n > _CHOL_UNROLL_MAX:
         return _downcast(jnp.linalg.cholesky(a), half)
     E = _full_entries(a, n)

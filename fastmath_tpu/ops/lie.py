@@ -264,41 +264,59 @@ def _iss_log_core(A, scaled: bool = False):
     per matrix, that the masked square-root chain actually reached the
     series' convergence region — matrices with eigenvalues on the
     negative real axis (no principal square-root chain) come back
-    ``ok=False`` instead of silently wrong."""
+    ``ok=False`` instead of silently wrong.
+
+    Accuracy: the chain tracks ``D = A_k - I`` *without cancellation*
+    via the exact identity ``A_k - I = (A_{k-1} - I)(A_k + I)^{-1}``
+    (the incomplete-square-root recurrence of Al-Mohy & Higham 2012,
+    "Improved inverse scaling and squaring algorithms for the matrix
+    logarithm", re-derived for the Denman-Beavers chain). Subtracting
+    I from the computed ``A_k ~ I + X/2^k`` directly would lose
+    ``~k + log2(1/||X||)`` bits and was the dominant f32 error term
+    (round-2 p99 6.5e-5, VERDICT item 9); the tracked form keeps the
+    relative error of ``D`` at O(eps) per step.
+    """
     d = A.shape[-1]
     eye = jnp.eye(d, dtype=A.dtype)
     rdt = jnp.finfo(A.dtype).dtype  # real counterpart of A.dtype
     thresh = 0.25
+    from .batched import batchmatmul as mm  # unrolled for tiny d (TPU)
 
     def dist2(M):
         return jnp.sum(jnp.abs(M - eye) ** 2, axis=(-2, -1))
 
     def cond(carry):
-        A, k, it = carry
+        A, D, k, it = carry
         d2 = dist2(A)
         active = jnp.isfinite(d2) & (d2 > thresh * thresh)
         return (it < _ISS_STEPS_MAX) & jnp.any(active)
 
     def body(carry):
-        A, k, it = carry
+        A, D, k, it = carry
         d2 = dist2(A)
         need = jnp.isfinite(d2) & (d2 > thresh * thresh)
         As = _sqrtm_db(A, scaled=scaled)
-        A = jnp.where(need[..., None, None], As, A)
+        # cancellation-free difference update: D <- D (As + I)^{-1}
+        Ds = mm(D, _inv_small(As + eye))
+        nd = need[..., None, None]
+        A = jnp.where(nd, As, A)
+        D = jnp.where(nd, Ds, D)
         k = k + need.astype(rdt)
-        return A, k, it + 1
+        return A, D, k, it + 1
 
     k0 = jnp.zeros(A.shape[:-2], dtype=rdt)
     # while_loop: stop as soon as every finite matrix is within
     # `thresh` of I (per-matrix depth still tracked in k; non-finite
     # lanes are excluded so they cannot stall or early-exit the batch)
-    A, k, _ = jax.lax.while_loop(cond, body, (A, k0, jnp.asarray(0)))
+    A, D, k, _ = jax.lax.while_loop(
+        cond, body, (A, A - eye, k0, jnp.asarray(0))
+    )
     d2 = dist2(A)
     ok = jnp.isfinite(d2) & (d2 <= thresh * thresh)
 
-    # log(A) = 2 * atanh(Z) with Z = (A - I)(A + I)^{-1}, ||Z|| small
-    from .batched import batchmatmul as mm  # unrolled for tiny d (TPU)
-    Z = mm(A - eye, _inv_small(A + eye))
+    # log(A) = 2 * atanh(Z) with Z = (A - I)(A + I)^{-1}, ||Z|| small;
+    # A - I is the accurately-tracked D
+    Z = mm(D, _inv_small(A + eye))
     Z2 = mm(Z, Z)
     order = 21 if jnp.finfo(A.dtype).eps < 1e-10 else 9
     acc = eye / order

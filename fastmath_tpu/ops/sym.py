@@ -67,8 +67,47 @@ __all__ = [
 _CLOSED_FORM_MAX = 4
 # N <= this uses unrolled elementwise matvec; above, densify + MXU matmul.
 _UNROLL_MATVEC_MAX = 8
+# N <= this is served by the Pallas native tier (kernels/sym_pallas.py)
+_PALLAS_MAX_N = 8
 
 from ..core.dtypes import downcast as _downcast, upcast_half
+from ._routing import nbatch as _nbatch, use_pallas as _use_pallas
+
+
+def _pallas_supported(layout, n, dtype, n_max=_PALLAS_MAX_N):
+    """The native tier serves compact storage, real floats, N <= 8.
+    At N == 1 every storage class coincides (NN == 1), so the
+    scaled-identity classification is compact too."""
+    compact = layout is MatrixLayout.COMPACT_SYM or (
+        n == 1 and layout is MatrixLayout.SCALED_IDENTITY
+    )
+    return (
+        compact
+        and n <= n_max
+        and jnp.issubdtype(jnp.dtype(dtype), jnp.floating)
+    )
+
+
+def _route_compact(backend, layout, n, dtype, batch, n_max=_PALLAS_MAX_N,
+                   auto: bool = True):
+    """Shared routing decision for the compact-sym ops. ``auto=False``
+    marks purely elementwise ops XLA always wins on (matvec family):
+    only an explicit ``backend='pallas'`` reaches the kernel."""
+    supported = _pallas_supported(layout, n, dtype, n_max)
+    if backend == "auto" and not auto:
+        return False
+    return _use_pallas(
+        backend,
+        supported=supported,
+        batch=batch,
+        dtype=dtype,
+        small_n=n <= _CLOSED_FORM_MAX,
+        why_unsupported=(
+            f"pallas tier serves compact-symmetric storage with "
+            f"N <= {n_max} and real floating dtypes (got layout="
+            f"{layout.name}, N={n}, {jnp.dtype(dtype).name})"
+        ),
+    )
 
 
 def _entries(mat: jnp.ndarray, n: int):
@@ -164,7 +203,24 @@ def _compact_matvec(mat: jnp.ndarray, vec: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.stack(out, axis=-1)
 
 
-def sym_matvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
+def _cf_call(fn, out_channel_axis0, *channel_last_args, **kw):
+    """Route a batch-major public call through a channel-first kernel:
+    broadcast the batch dims right-aligned (the public contract), then
+    feed lazy ``moveaxis(-1, 0)`` views with ``bm=True`` so the kernel's
+    block-major repack composes with the transpose into one block-local
+    relayout (no global transpose materializes)."""
+    batch = np.broadcast_shapes(*(a.shape[:-1] for a in channel_last_args))
+    args = [
+        jnp.moveaxis(jnp.broadcast_to(a, batch + a.shape[-1:]), -1, 0)
+        for a in channel_last_args
+    ]
+    out = fn(*args, bm=True, **kw)
+    return jnp.moveaxis(out, 0, -1) if out_channel_axis0 else out
+
+
+def sym_matvec(
+    mat: jnp.ndarray, vec: jnp.ndarray, backend: str = "auto"
+) -> jnp.ndarray:
     """Matrix-vector product ``A @ v`` for auto-detected compact storage.
 
     ``mat`` has shape ``(..., NN)`` with ``NN`` in ``{1, N, N(N+1)/2,
@@ -172,8 +228,19 @@ def sym_matvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
     shape ``(..., N)``. Batch dims broadcast. bf16/f16 inputs compute
     in f32 and round once on output. Reference analog:
     ``_impl/sym.py:134-175`` + jitfields ``sym_matvec``.
+
+    ``backend``: matvec is purely elementwise and memory-bound — fused
+    XLA out-streams the Pallas grid (``ops/_routing.py``), so ``auto``
+    == ``xla``; ``"pallas"`` forces the native kernel.
     """
     mat, vec, half = upcast_half(mat, vec)
+    n = vec.shape[-1]
+    layout = classify_layout(mat.shape[-1], n)
+    if _route_compact(backend, layout, n, mat.dtype, _nbatch(mat, vec),
+                      auto=False):
+        from ..kernels.sym_pallas import sym_matvec_cf
+
+        return _downcast(_cf_call(sym_matvec_cf, True, mat, vec), half)
     return _downcast(_sym_matvec_impl(mat, vec), half)
 
 
@@ -190,19 +257,38 @@ def _sym_matvec_impl(mat, vec):
 
 
 def sym_addmatvec(
-    acc: jnp.ndarray, mat: jnp.ndarray, vec: jnp.ndarray
+    acc: jnp.ndarray, mat: jnp.ndarray, vec: jnp.ndarray,
+    backend: str = "auto",
 ) -> jnp.ndarray:
-    """``acc + A @ v`` (fused accumulate; jitfields ``sym_addmatvec``)."""
+    """``acc + A @ v`` (fused accumulate; jitfields ``sym_addmatvec``).
+    ``backend`` as in :func:`sym_matvec` (elementwise: auto == xla)."""
     acc, mat, vec, half = upcast_half(acc, mat, vec)
+    n = vec.shape[-1]
+    layout = classify_layout(mat.shape[-1], n)
+    if _route_compact(backend, layout, n, mat.dtype,
+                      _nbatch(acc, mat, vec), auto=False):
+        from ..kernels.sym_pallas import sym_addmatvec_cf
+
+        return _downcast(_cf_call(sym_addmatvec_cf, True, acc, mat, vec),
+                         half)
     return _downcast(acc + _sym_matvec_impl(mat, vec), half)
 
 
 def sym_submatvec(
-    acc: jnp.ndarray, mat: jnp.ndarray, vec: jnp.ndarray
+    acc: jnp.ndarray, mat: jnp.ndarray, vec: jnp.ndarray,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """``acc - A @ v`` (fused subtract-accumulate; jitfields
-    ``sym_submatvec``)."""
+    ``sym_submatvec``). ``backend`` as in :func:`sym_matvec`."""
     acc, mat, vec, half = upcast_half(acc, mat, vec)
+    n = vec.shape[-1]
+    layout = classify_layout(mat.shape[-1], n)
+    if _route_compact(backend, layout, n, mat.dtype,
+                      _nbatch(acc, mat, vec), auto=False):
+        from ..kernels.sym_pallas import sym_submatvec_cf
+
+        return _downcast(_cf_call(sym_submatvec_cf, True, acc, mat, vec),
+                         half)
     return _downcast(acc - _sym_matvec_impl(mat, vec), half)
 
 
@@ -224,22 +310,51 @@ def sym_solve(
     mat: jnp.ndarray,
     vec: jnp.ndarray,
     eps: Optional[Union[float, Sequence[float]]] = None,
+    refine: Optional[int] = None,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     r"""Left matrix division ``A \ v`` for auto-detected compact storage.
 
     Orders up to 4 are solved in closed form (trace-time adjugate; one
-    fused XLA kernel); larger orders densify and use batched LU. ``eps``
+    fused XLA kernel); larger orders use an unrolled pivoted LU. ``eps``
     adds a smoothing term to the diagonal before solving. Reference
     analog: ``_impl/sym.py:327-398`` + jitfields ``sym_solve``. Unlike
     the reference (no autograd, ``_impl/sym.py:333``), this is fully
     differentiable. bf16/f16 inputs compute in f32 and round once on
     output (closed-form solves lose all significance in half precision).
+
+    ``backend="auto"`` dispatches compact real-float input to the
+    Pallas native tier on TPU in the regimes where it wins: always at
+    5 <= N <= 8 (~39x the fused-XLA PLU, ``BENCH_MEASURED.md``), and at
+    N <= 4 only for very large (>= 8M) unchained batches — a chained
+    ``lax.scan`` of dependent N <= 4 solves saturates bandwidth on the
+    fused-XLA path already (``bench.py``'s 6.6e9 solves/s headline).
+    ``"pallas"``/``"xla"`` force a path; both are differentiable.
+
+    ``refine`` adds iterative-refinement steps ``x += A \ (v - A x)``
+    (fp32 tail sharpening for ill-conditioned matrices). Default: 0 on
+    the fused-XLA paths — the Wishart-class normwise error is already
+    ~2e-7 without it, and a refinement step doubles the FLOPs of the
+    chained `lax.scan` workload, which is compute-limited at the
+    sustained rate (measured: 6.6e9 -> 2.9e9 solves/s with refine=1) —
+    and 1 on the single-dispatch Pallas N <= 4 kernel, where the
+    operands are register-resident and the step is bandwidth-free.
     """
     mat, vec, half = upcast_half(mat, vec)
-    return _downcast(_sym_solve_impl(mat, vec, eps), half)
+    n = vec.shape[-1]
+    layout = classify_layout(mat.shape[-1], n)
+    if _route_compact(backend, layout, n, mat.dtype, _nbatch(mat, vec)):
+        from ..kernels.sym_pallas import sym_solve_cf
+
+        return _downcast(
+            _cf_call(sym_solve_cf, True, mat, vec, eps=eps, refine=refine),
+            half,
+        )
+    return _downcast(_sym_solve_impl(mat, vec, eps,
+                                     int(refine or 0)), half)
 
 
-def _sym_solve_impl(mat, vec, eps):
+def _sym_solve_impl(mat, vec, eps, refine=0):
     n = vec.shape[-1]
     dtype = jnp.result_type(mat, vec)
     mat = mat.astype(dtype)
@@ -265,9 +380,7 @@ def _sym_solve_impl(mat, vec, eps):
                 e = np.concatenate([e, np.full(n - e.size, e[-1])])
             full = full + jnp.diag(jnp.asarray(e, dtype=dtype))
         full, v = _broadcast_solve_operands(full, vec)
-        from .batched import batchlmdiv
-
-        return batchlmdiv(full, v)
+        return _refined_lmdiv(full, v, refine)
 
     # compact symmetric
     if n <= _CLOSED_FORM_MAX:
@@ -281,7 +394,21 @@ def _sym_solve_impl(mat, vec, eps):
         vec_parts = [vec[..., j] for j in range(n)]
         out, det = _adjugate_apply(E, vec_parts, n)
         inv_det = 1.0 / det
-        return jnp.stack([o * inv_det for o in out], axis=-1)
+        x = [o * inv_det for o in out]
+        # iterative refinement x += A^{-1}(v - A x): trace-time unrolled
+        # like the Pallas kernel's (kernels/sym_pallas.py _solve_kernel),
+        # ~free on a memory-bound fused kernel, sharpens the fp32 tail
+        for _ in range(refine):
+            r = []
+            for i in range(n):
+                acc = vec_parts[i] - E[i][i] * x[i]
+                for j in range(n):
+                    if j != i:
+                        acc = acc - E[i][j] * x[j]
+                r.append(acc)
+            dx, _ = _adjugate_apply(E, r, n)
+            x = [xi + d * inv_det for xi, d in zip(x, dx)]
+        return jnp.stack(x, axis=-1)
 
     full = sym_to_full(mat, n)
     if eps is not None:
@@ -290,9 +417,20 @@ def _sym_solve_impl(mat, vec, eps):
             e = np.concatenate([e, np.full(n - e.size, e[-1])])
         full = full + jnp.diag(jnp.asarray(e, dtype=dtype))
     full, v = _broadcast_solve_operands(full, vec)
-    from .batched import batchlmdiv
+    return _refined_lmdiv(full, v, refine)
 
-    return batchlmdiv(full, v)
+
+def _refined_lmdiv(full, v, refine):
+    """Batched full-matrix solve with optional iterative refinement
+    (the densified tail of :func:`sym_solve`; XLA CSEs the repeated
+    factorization subgraphs)."""
+    from .batched import batchlmdiv, batchmatvec
+
+    x = batchlmdiv(full, v)
+    for _ in range(refine):
+        r = v - batchmatvec(full, x)
+        x = x + batchlmdiv(full, r)
+    return x
 
 
 def _broadcast_solve_operands(full, vec):
@@ -304,28 +442,51 @@ def _broadcast_solve_operands(full, vec):
     return full, vec
 
 
-def sym_det(mat: jnp.ndarray) -> jnp.ndarray:
+def sym_det(mat: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """Determinant of a compact symmetric matrix ``(..., N(N+1)/2) -> (...)``.
 
-    Closed form (trace-time Laplace expansion) for N <= 4; densify +
-    ``jnp.linalg.det`` beyond. Reference analog: ``_impl/sym.py:401-452``.
+    Closed form (trace-time Laplace expansion) for N <= 4, unrolled
+    pivoted LU for N <= 8 (via the full-storage tier), densify +
+    ``jnp.linalg.det`` beyond. ``backend`` routes exactly like
+    :func:`sym_solve` (the Pallas tier wins on the register-resident
+    PLU at 5 <= N <= 8). Reference analog: ``_impl/sym.py:401-452``.
     """
     mat, half = upcast_half(mat)
     n = sym_dim(mat.shape[-1])
+    layout = MatrixLayout.COMPACT_SYM
+    if _route_compact(backend, layout, n, mat.dtype, _nbatch(mat)):
+        from ..kernels.sym_pallas import sym_det_cf
+
+        return _downcast(_cf_call(sym_det_cf, False, mat), half)
     if n <= _CLOSED_FORM_MAX:
         return _downcast(_det_full(_entries(mat, n), n), half)
-    return _downcast(jnp.linalg.det(sym_to_full(mat, n)), half)
+    from .batched import batchdet
+
+    return _downcast(batchdet(sym_to_full(mat, n)), half)
 
 
-def sym_invert(mat: jnp.ndarray, diag: bool = False) -> jnp.ndarray:
+def sym_invert(
+    mat: jnp.ndarray, diag: bool = False, backend: str = "auto"
+) -> jnp.ndarray:
     """Inverse of a compact symmetric matrix, in compact storage.
 
     ``diag=True`` returns only the diagonal of the inverse (shape
-    ``(..., N)``). Reference analog: ``_impl/sym.py:455-493`` (there: N
-    solves against identity columns; here: direct cofactor/adjugate for
-    N <= 4, one batched full inverse beyond).
+    ``(..., N)``). ``backend`` routes exactly like :func:`sym_solve`.
+    Reference analog: ``_impl/sym.py:455-493`` (there: N solves against
+    identity columns; here: direct cofactor/adjugate for N <= 4,
+    in-register pivoted LU for N <= 8, one batched full inverse beyond).
     """
     mat, half = upcast_half(mat)
+    n = sym_dim(mat.shape[-1])
+    if _route_compact(backend, MatrixLayout.COMPACT_SYM, n, mat.dtype,
+                      _nbatch(mat)):
+        from ..kernels.sym_pallas import sym_invert_cf
+
+        out = jnp.moveaxis(sym_invert_cf(jnp.moveaxis(mat, -1, 0), bm=True),
+                           0, -1)
+        if diag:
+            out = out[..., :n]
+        return _downcast(out, half)
     return _downcast(_sym_invert_impl(mat, diag), half)
 
 
@@ -349,7 +510,9 @@ def _sym_invert_impl(mat, diag):
         if diag:
             return jnp.stack(diag_entries, axis=-1)
         return jnp.stack(diag_entries + upper_entries, axis=-1)
-    full = jnp.linalg.inv(sym_to_full(mat, n))
+    from .batched import batchinv
+
+    full = batchinv(sym_to_full(mat, n))  # unrolled PLU for n <= 16
     if diag:
         return jnp.diagonal(full, axis1=-2, axis2=-1)
     return full_to_sym(full)
@@ -360,11 +523,18 @@ def _sym_invert_impl(mat, diag):
 # ---------------------------------------------------------------------------
 
 
-def sym_outer(x: jnp.ndarray) -> jnp.ndarray:
+def sym_outer(x: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """Symmetric outer product ``x @ x.T`` in compact storage
-    ``(..., N) -> (..., N(N+1)/2)``. Reference: ``_impl/sym.py:496-528``."""
+    ``(..., N) -> (..., N(N+1)/2)``. Purely elementwise, so ``auto`` ==
+    ``xla`` (see :func:`sym_matvec`); ``"pallas"`` forces the kernel.
+    Reference: ``_impl/sym.py:496-528``."""
     x, half = upcast_half(x)
     n = x.shape[-1]
+    if _route_compact(backend, MatrixLayout.COMPACT_SYM, n, x.dtype, _nbatch(x),
+                      auto=False):
+        from ..kernels.sym_pallas import sym_outer_cf
+
+        return _downcast(_cf_call(sym_outer_cf, True, x), half)
     parts = [x[..., i] * x[..., i] for i in range(n)]
     for i in range(n):
         for j in range(i + 1, n):
@@ -375,7 +545,9 @@ def sym_outer(x: jnp.ndarray) -> jnp.ndarray:
 _JHJ_UNROLL_MAX = 6
 
 
-def sym_matmul(j: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+def sym_matmul(
+    j: jnp.ndarray, h: jnp.ndarray, backend: str = "auto"
+) -> jnp.ndarray:
     """Congruence product ``J.T @ H @ J`` with compact-symmetric ``H``.
 
     ``j``: ``(..., K, D)`` full matrix; ``h``: ``(..., K(K+1)/2)``
@@ -394,6 +566,19 @@ def sym_matmul(j: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
             f"{compact_size(k)} for K={k}"
         )
     d = j.shape[-1]
+    # the trace-time unrolled XLA form fuses and is compute-dense;
+    # auto == xla (only backend="pallas" reaches the kernel, K, D <= 6)
+    if _route_compact(backend, MatrixLayout.COMPACT_SYM, max(k, d),
+                      jnp.result_type(j, h),
+                      _nbatch(j.reshape(*j.shape[:-2], k * d), h),
+                      n_max=_JHJ_UNROLL_MAX, auto=False):
+        from ..kernels.sym_pallas import sym_matmul_cf
+
+        j2 = jnp.moveaxis(j.reshape(*j.shape[:-2], k * d), -1, 0)
+        h2 = jnp.moveaxis(h, -1, 0)
+        return _downcast(
+            jnp.moveaxis(sym_matmul_cf(j2, h2, bm=True), 0, -1), half
+        )
     if max(k, d) <= _JHJ_UNROLL_MAX:
         # out[(i,jj)] = sum_{a,b} J[a,i] H[a,b] J[b,jj], H from compact
         H = _entries(h, k)

@@ -38,13 +38,30 @@ def test_native_solve(n, rng):
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-9)
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 4])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 6, 8, 16])
 def test_native_invert(n, rng):
     from fastmath_tpu.layouts import sym_to_full
 
     full, compact = randsym(rng, 50, n)
     got = np.asarray(sym_to_full(jnp.asarray(native.sym_invert_np(compact))))
-    np.testing.assert_allclose(got, np.linalg.inv(full), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(got, np.linalg.inv(full), rtol=1e-8, atol=1e-9)
+
+
+@pytest.mark.parametrize("n", [1, 3, 6])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_native_accmatvec(n, dtype, rng):
+    """jitfields' fused accumulate entry points (reference sym.py:28-35)."""
+    full, compact = randsym(rng, 150, n, dtype)
+    vec = rng.standard_normal((150, n)).astype(dtype)
+    acc = rng.standard_normal((150, n)).astype(dtype)
+    mv = np.einsum("...ij,...j->...i", full, vec)
+    rtol = 1e-10 if dtype == np.float64 else 1e-4
+    np.testing.assert_allclose(
+        native.sym_addmatvec_np(acc, compact, vec), acc + mv,
+        rtol=rtol, atol=rtol)
+    np.testing.assert_allclose(
+        native.sym_submatvec_np(acc, compact, vec), acc - mv,
+        rtol=rtol, atol=rtol)
 
 
 def test_threads():

@@ -1,0 +1,107 @@
+"""Hardware smoke set: one parity test per Pallas kernel family.
+
+Runs on any backend (CPU CI exercises interpret mode), but its purpose
+is the recorded **real-TPU pass** (VERDICT r2 item 5):
+
+    FASTMATH_TEST_PLATFORM=axon python -m pytest tests/test_tpu_smoke.py -q
+
+Each test is one small-batch parity assertion against a float64 numpy
+oracle through the kernel's *public routed entry* where one exists —
+small batches keep the on-chip run to compile time (~1 s per kernel
+after the first; a fresh process pays the remote-compile warmup).
+f32 tolerances; results recorded in CHANGELOG.md.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastmath_tpu.layouts import full_to_sym
+from fastmath_tpu.ops import batched as B
+from fastmath_tpu.ops import lie as L
+from fastmath_tpu.ops import qr as Q
+from fastmath_tpu.ops import sym as S
+
+_B = 1024  # multiple of 128 (no pad edge on chip; pad is covered on CPU)
+
+
+def _spd(rng, b, n):
+    a = rng.standard_normal((b, n, n)).astype(np.float32)
+    return np.einsum("...ij,...kj->...ik", a, a) + n * np.eye(
+        n, dtype=np.float32)
+
+
+def _compact(full):
+    return jnp.asarray(np.asarray(full_to_sym(jnp.asarray(full))))
+
+
+@pytest.mark.parametrize("n", [4, 8])
+def test_smoke_sym_solve_pallas(rng, n):
+    spd = _spd(rng, _B, n)
+    v = rng.standard_normal((_B, n)).astype(np.float32)
+    got = np.asarray(
+        S.sym_solve(_compact(spd), jnp.asarray(v), backend="pallas"),
+        np.float64)
+    want = np.linalg.solve(spd.astype(np.float64),
+                           v.astype(np.float64)[..., None])[..., 0]
+    nw = np.linalg.norm(got - want, axis=-1) / np.linalg.norm(want, axis=-1)
+    assert nw.max() < 1e-5
+
+
+def test_smoke_sym_invert_pallas(rng):
+    spd = _spd(rng, _B, 6)
+    got = np.asarray(S.sym_invert(_compact(spd), backend="pallas"))
+    want = np.asarray(full_to_sym(jnp.asarray(
+        np.linalg.inv(spd.astype(np.float64)))))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_smoke_batchinv_pallas(rng):
+    spd = _spd(rng, _B, 8)
+    got = np.asarray(B.batchinv(jnp.asarray(spd), backend="pallas"))
+    np.testing.assert_allclose(got, np.linalg.inv(spd.astype(np.float64)),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_smoke_batchchol_pallas(rng):
+    spd = _spd(rng, _B, 6)
+    got = np.asarray(B.batchchol(jnp.asarray(spd), backend="pallas"))
+    np.testing.assert_allclose(got,
+                               np.linalg.cholesky(spd.astype(np.float64)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_smoke_eig_pallas(rng):
+    spd = _spd(rng, _B, 4)
+    w = np.sort(np.asarray(Q.eig_sym(jnp.asarray(spd), check_finite=False,
+                                     backend="pallas")), -1)
+    ww = np.sort(np.linalg.eigvalsh(spd.astype(np.float64)), -1)
+    assert np.abs(w - ww).max() / np.abs(ww).max() < 1e-5
+
+
+def test_smoke_expm_logm_pallas(rng):
+    X = (rng.standard_normal((_B, 4, 4)) * 0.4).astype(np.float32)
+    # on TPU these route through the expm/logm register kernels
+    E = L.expm(jnp.asarray(X))
+    back = np.asarray(L.logm(E))
+    rel = np.abs(back - X) / (np.abs(X) + 1e-30)
+    assert np.median(rel) < 1e-5 and np.quantile(rel, 0.99) < 5e-4
+
+
+def test_smoke_jhj_pallas(rng):
+    j = rng.standard_normal((_B, 5, 4)).astype(np.float32)
+    h = _spd(rng, _B, 5)
+    got = np.asarray(S.sym_matmul(jnp.asarray(j), _compact(h),
+                                  backend="pallas"), np.float64)
+    want64 = np.einsum("...ki,...kl,...lj->...ij", j.astype(np.float64),
+                       h.astype(np.float64), j.astype(np.float64))
+    want = np.asarray(full_to_sym(jnp.asarray(want64)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_smoke_backend_report():
+    """Record which backend this smoke pass actually ran on (shows in
+    the -v output / CHANGELOG evidence)."""
+    print(f"\n[smoke] backend={jax.default_backend()} "
+          f"devices={jax.devices()}", flush=True)
+    assert jax.default_backend() in ("tpu", "cpu")
