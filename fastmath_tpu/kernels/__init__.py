@@ -11,7 +11,8 @@ from .sym_pallas import (
     DEFAULT_BLOCK,
 )
 from .eig_pallas import eig_sym_cf
-from .batched_pallas import chol_cf, det_cf, inv_cf, matvec_full_cf
+from .batched_pallas import (chol_cf, det_cf, inv_cf,
+                             matvec_full_cf, solve_full_cf)
 from .expm_pallas import expm_cf
 from .logm_pallas import logm_cf
 
@@ -29,6 +30,7 @@ __all__ = [
     "inv_cf",
     "chol_cf",
     "matvec_full_cf",
+    "solve_full_cf",
     "expm_cf",
     "logm_cf",
     "DEFAULT_BLOCK",

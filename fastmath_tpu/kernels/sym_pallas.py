@@ -59,12 +59,18 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _default_block(n: int, block) -> int:
+def _default_block(n: int, block, bm: bool = False) -> int:
     """Shrink the lane block as N grows: the PLU path keeps ~2 full
     register grids (n^2 rows each) live per lane, and scoped VMEM is
-    ~16 MB (block x rows x 4 B x double-buffer must fit)."""
+    ~16 MB (block x rows x 4 B x double-buffer must fit).
+
+    The block-major grid (``bm``) reads contiguous slabs, so larger
+    blocks amortize better before VMEM binds (measured on v5e:
+    6x6 solve 5.7e8/s at 16384 vs 5.0e8 at 4096; 8x8 peaks at 4096)."""
     if block is not None:
         return block
+    if bm:
+        return 16384 if n <= 6 else 4096
     if n <= 4:
         return DEFAULT_BLOCK
     return 4096 if n <= 6 else 2048
@@ -447,7 +453,7 @@ def sym_solve_cf(
         )
     if n > MAX_N:
         raise ValueError(f"pallas sym_solve_cf implements N <= {MAX_N}")
-    block = _default_block(n, block)
+    block = _default_block(n, block, bm)
     if refine is None:
         refine = 1 if n <= 4 else 0
     if interpret is None:
@@ -579,7 +585,7 @@ def sym_invert_cf(
     n = sym_dim(nn)
     if n > MAX_N:
         raise ValueError(f"pallas sym_invert_cf implements N <= {MAX_N}")
-    block = _default_block(n, block)
+    block = _default_block(n, block, bm)
     if interpret is None:
         interpret = _interpret_default()
     batch_shape = mat.shape[1:]
@@ -834,7 +840,7 @@ def sym_det_cf(
     n = sym_dim(nn)
     if n > MAX_N:
         raise ValueError(f"pallas sym_det_cf implements N <= {MAX_N}")
-    block = _default_block(n, block)
+    block = _default_block(n, block, bm)
     if interpret is None:
         interpret = _interpret_default()
     batch_shape = mat.shape[1:]

@@ -375,20 +375,38 @@ def batchmatmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def batchlmdiv(
-    a: jnp.ndarray, b: jnp.ndarray, regularize: bool = False
+    a: jnp.ndarray, b: jnp.ndarray, regularize: bool = False,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     r"""Batched left division ``A \ b`` for small full matrices.
 
     ``b`` may be a vector ``(..., n)`` or a matrix ``(..., n, k)``.
     Closed-form adjugate solve for n <= 4, unrolled pivoted-LU solve
     for n <= 8, fori_loop-rolled PLU for n <= 16, ``jnp.linalg.solve``
-    beyond.
+    beyond. ``backend="auto"`` dispatches 5 <= n <= 8 (k <= 8 RHS
+    columns) to the Pallas in-register PLU solve
+    (:func:`fastmath_tpu.kernels.solve_full_cf`) on TPU — the fused
+    XLA PLU tier is dispatch/layout-bound ~20x below it.
     (North-star extension; the reference routes this through
     ``sugar.lmdiv``.)
     """
     a, b, half = upcast_half(a, b)
     n = a.shape[-1]
     vector_rhs = b.ndim == a.ndim - 1
+    k = 1 if vector_rhs else b.shape[-1]
+    if (not regularize and k <= 8
+            and _route_full(backend, n, a.dtype, _nb(a), auto=n > 4)):
+        from ..kernels.batched_pallas import solve_full_cf
+
+        nb_dims = b.ndim - (1 if vector_rhs else 2)
+        bshape = np.broadcast_shapes(a.shape[:-2], b.shape[:nb_dims])
+        a2 = jnp.broadcast_to(a, bshape + a.shape[-2:])
+        bfull = b if not vector_rhs else b[..., None]
+        bfull = jnp.broadcast_to(bfull, bshape + (n, k))
+        rhs = jnp.moveaxis(bfull.reshape(*bshape, n * k), -1, 0)
+        out = solve_full_cf(_to_channels(a2, n), rhs, k=k, bm=True)
+        out = jnp.moveaxis(out, 0, -1).reshape(*bshape, n, k)
+        return _downcast(out[..., 0] if vector_rhs else out, half)
     if n <= _CLOSED_FORM_MAX:
         inv = batchinv(a, regularize=regularize)
         if vector_rhs:
@@ -408,14 +426,18 @@ def batchlmdiv(
 
 
 def batchrmdiv(
-    a: jnp.ndarray, b: jnp.ndarray, regularize: bool = False
+    a: jnp.ndarray, b: jnp.ndarray, regularize: bool = False,
+    backend: str = "auto",
 ) -> jnp.ndarray:
-    """Batched right division ``a @ inv(b)`` (transpose of lmdiv)."""
+    """Batched right division ``a @ inv(b)`` (transpose of lmdiv;
+    ``backend`` as in :func:`batchlmdiv`)."""
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     bt = jnp.swapaxes(b, -1, -2)
     at = jnp.swapaxes(a, -1, -2)
-    return jnp.swapaxes(batchlmdiv(bt, at, regularize=regularize), -1, -2)
+    return jnp.swapaxes(
+        batchlmdiv(bt, at, regularize=regularize, backend=backend), -1, -2
+    )
 
 
 def batchchol(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
@@ -423,15 +445,17 @@ def batchchol(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
 
     Fully unrolled Cholesky-Banachiewicz for n <= 16 (one fused
     elementwise kernel, no per-element control flow); XLA's blocked
-    ``jnp.linalg.cholesky`` beyond. ``backend`` as in :func:`batchdet`
-    (the Pallas kernel reads/writes compact storage, so routing adds a
-    pack/unpack pass either side — still a win at 5 <= n <= 8 where
-    the kernel's register-resident factorization dominates).
+    ``jnp.linalg.cholesky`` beyond. Unlike the pivoted ops, the
+    unrolled Cholesky is branch-free elementwise work XLA fuses at
+    full stream rate — measured 3.2e8 vs 1.1e8 chol/s routed at 8x8
+    on v5e — so ``auto`` == ``xla`` here and only an explicit
+    ``backend="pallas"`` reaches the kernel (compact in/out via a
+    pack/unpack pass either side).
     (North-star extension, ``BASELINE.json`` configs[2].)
     """
     a, half = upcast_half(a)
     n = a.shape[-1]
-    if _route_full(backend, n, a.dtype, _nb(a)):
+    if _route_full(backend, n, a.dtype, _nb(a), auto=False):
         from ..kernels.batched_pallas import chol_cf
         from ..layouts.sym import full_to_sym, tri_index
 

@@ -93,7 +93,8 @@ def lmdiv(
         method = "pinv"
     method = method.lower()
     if method.startswith("lu"):
-        if a.shape[-1] <= 8:
+        if a.shape[-1] <= 16:
+            # unrolled/rolled PLU tier (+ Pallas routing at 5 <= n <= 8)
             from .batched import batchlmdiv
 
             return batchlmdiv(a, b)
@@ -145,7 +146,8 @@ def inv(
         method = "pinv"
     method = method.lower()
     if method.startswith("lu"):
-        if a.shape[-1] <= 8:
+        if a.shape[-1] <= 16:
+            # unrolled/rolled PLU tier (+ Pallas routing at 5 <= n <= 8)
             from .batched import batchinv
 
             return batchinv(a)

@@ -150,6 +150,44 @@ def test_batched_backends_agree(rng, n):
         np.linalg.inv(gen), rtol=1e-8, atol=1e-9)
 
 
+@pytest.mark.parametrize("n", [3, 6, 8])
+def test_batchlmdiv_backends_agree(rng, n):
+    spd = _spd(rng, 150, n)
+    aj = jnp.asarray(spd)
+    bv = jnp.asarray(rng.standard_normal((150, n)))
+    bm = jnp.asarray(rng.standard_normal((150, n, 3)))
+    want_v = np.linalg.solve(spd, np.asarray(bv)[..., None])[..., 0]
+    want_m = np.linalg.solve(spd, np.asarray(bm))
+    for be in ("xla", "pallas", "auto"):
+        np.testing.assert_allclose(
+            np.asarray(B.batchlmdiv(aj, bv, backend=be)), want_v,
+            rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(B.batchlmdiv(aj, bm, backend=be)), want_m,
+            rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(B.batchrmdiv(jnp.swapaxes(bm, -1, -2), aj,
+                                backend="pallas")),
+        np.swapaxes(np.linalg.solve(np.swapaxes(spd, -1, -2),
+                                    np.asarray(bm)), -1, -2),
+        rtol=1e-8, atol=1e-9)
+
+
+def test_batchlmdiv_routed_grad(rng):
+    spd = _spd(rng, 32, 6)
+    aj = jnp.asarray(spd)
+    bv = jnp.asarray(rng.standard_normal((32, 6)))
+
+    def loss(be):
+        return lambda a, b: jnp.sum(B.batchlmdiv(a, b, backend=be) ** 2)
+
+    gp = jax.grad(loss("pallas"), argnums=(0, 1))(aj, bv)
+    gx = jax.grad(loss("xla"), argnums=(0, 1))(aj, bv)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9)
+
+
 def test_batched_routed_grad(rng):
     spd = _spd(rng, 16, 6)
     aj = jnp.asarray(spd)
