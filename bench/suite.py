@@ -159,8 +159,8 @@ def main():
     ap.add_argument("--out", default="BENCH_MEASURED.md")
     ap.add_argument("--small", action="store_true", help="reduced batch sizes")
     ap.add_argument("--section", default="all",
-                    help="comma-set of {sym,batched,gate16,eig,dct,lie,"
-                         "reduce,solve8,bf16}")
+                    help="comma-set of {sym,chain,batched,gate16,eig,dct,"
+                         "lie,reduce,solve8,bf16}")
     args = ap.parse_args()
     sections = set(args.section.split(","))
 
@@ -283,6 +283,30 @@ def main():
                 del cf_, vcf_
             del a_, c_, v_
 
+    # --- fused-iteration chain kernel (sym_solve_chain) --------------------
+    if on("chain"):
+        for n_, kk in ((4, 128), (6, 32), (8, 32)):
+            a_ = spd_batch(rng, BIG, n_)
+            c_ = np.asarray(full_to_sym(jnp.asarray(a_)))
+            v_ = rng.standard_normal((BIG, n_)).astype(np.float32)
+            cj = jax.device_put(jnp.asarray(c_))
+            vj = jax.device_put(jnp.asarray(v_))
+            f = jax.jit(lambda m, v, k=kk: F.sym_solve_chain(m, v, k, add=v))
+            dt = honest_time(f, cj, vj, calls=8)
+            # oracle: the same kk-step recurrence in f64
+            xo = v_[:2048].astype(np.float64)
+            a64 = a_[:2048].astype(np.float64)
+            for _ in range(kk):
+                xo = (np.linalg.solve(a64, xo[..., None])[..., 0]
+                      + v_[:2048].astype(np.float64))
+            got = np.asarray(f(cj[:2048], vj[:2048]), np.float64)
+            med, p99 = rel_err(got, xo)
+            record(f"sym_solve {n_}x{n_} fused chain (k={kk}, pallas)",
+                   BIG, "f32", kk * BIG, dt, med, p99, "solves/s",
+                   bytes_per_item=(n_ * (n_ + 1) // 2 + 2 * n_) * 4 / kk,
+                   nw_max=normwise(got, xo))
+            del a_, c_, v_, cj, vj
+
     # --- batched inv/det/chol 3x3 & 8x8 (public, auto-routed) -------------
     if on("batched"):
         for n, nb in ((3, BIG), (8, BIG)):
@@ -360,13 +384,18 @@ def main():
         dt = honest_time(f, aj, calls=8)
         _, ld = np.linalg.slogdet(a[:2048].astype(np.float64))
         med, p99 = rel_err(np.asarray(f(aj[:2048])), ld)
-        record("batchlogdet 16x16 (rolled PLU)", nb16, "f32", nb16, dt, med,
-               p99, "logdet/s", bytes_per_item=(256 + 1) * 4)
+        record("batchlogdet 16x16 (public, auto)", nb16, "f32", nb16, dt,
+               med, p99, "logdet/s", bytes_per_item=(256 + 1) * 4)
         f = jax.jit(B_.batchinv)
         dt = honest_time(f, aj, calls=8)
         med, p99 = rel_err(np.asarray(f(aj[:2048])), inv_want)
-        record("batchinv 16x16 (rolled PLU)", nb16, "f32", nb16, dt, med,
+        record("batchinv 16x16 (public, auto)", nb16, "f32", nb16, dt, med,
                p99, "inv/s", bytes_per_item=2 * 256 * 4)
+        fx = jax.jit(lambda t: B_.batchinv(t, backend="xla"))
+        dtx = honest_time(fx, aj, calls=4)
+        medx, p99x = rel_err(np.asarray(fx(aj[:2048])), inv_want)
+        record("batchinv 16x16 (public, XLA rolled PLU)", nb16, "f32",
+               nb16, dtx, medx, p99x, "inv/s", bytes_per_item=2 * 256 * 4)
         from fastmath_tpu.ops import sugar as SU
 
         for meth in ("lu", "chol"):

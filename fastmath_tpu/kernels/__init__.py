@@ -1,6 +1,7 @@
 """Pallas TPU kernels (the native tier; jitfields replacement)."""
 from .sym_pallas import (
     sym_solve_cf,
+    sym_solve_chain_cf,
     sym_matvec_cf,
     sym_invert_cf,
     sym_addmatvec_cf,
@@ -11,13 +12,14 @@ from .sym_pallas import (
     DEFAULT_BLOCK,
 )
 from .eig_pallas import eig_sym_cf
-from .batched_pallas import (chol_cf, det_cf, inv_cf,
+from .batched_pallas import (chol_cf, det_cf, inv_cf, logdet_cf,
                              matvec_full_cf, solve_full_cf)
 from .expm_pallas import expm_cf
 from .logm_pallas import logm_cf
 
 __all__ = [
     "sym_solve_cf",
+    "sym_solve_chain_cf",
     "sym_matvec_cf",
     "sym_invert_cf",
     "sym_addmatvec_cf",
@@ -28,6 +30,7 @@ __all__ = [
     "eig_sym_cf",
     "det_cf",
     "inv_cf",
+    "logdet_cf",
     "chol_cf",
     "matvec_full_cf",
     "solve_full_cf",

@@ -33,10 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.dtypes import downcast as _downcast, upcast_half
 from ..layouts.sym import compact_size, sym_dim, tri_index
-from ..ops.sym import _adjugate_apply
+from ..ops.sym import _adjugate_apply, _det_expand
 
 __all__ = [
     "sym_solve_cf",
+    "sym_solve_chain_cf",
     "sym_matvec_cf",
     "sym_invert_cf",
     "sym_addmatvec_cf",
@@ -48,11 +49,14 @@ __all__ = [
 
 DEFAULT_BLOCK = 8192  # lanes per grid step (multiple of 128)
 
-#: Largest N served by the Pallas tier (adjugate closed forms N <= 4,
-#: in-register unrolled pivoted LU 5 <= N <= 8 — jitfields' kernels had
-#: no N cap, reference ``sym.py:16-24``; 8 matches the XLA tier's
-#: ``LU_UNROLL_MAX``).
+#: Largest N served by the unrolled Pallas tier (adjugate closed forms
+#: N <= 4, in-register unrolled pivoted LU 5 <= N <= 8 — jitfields'
+#: kernels had no N cap, reference ``sym.py:16-24``).
 MAX_N = 8
+#: solve/invert/det extend to N <= 16 via the fori_loop-rolled one-hot
+#: PLU on stacked grids (``_plu_rolled`` — O(1) compile in N; the
+#: BASELINE <=16x16 gate). Matches the XLA tier's ``LU_UNROLL_MAX``.
+MAX_N_ROLLED = 16
 
 
 def _interpret_default() -> bool:
@@ -70,9 +74,13 @@ def _default_block(n: int, block, bm: bool = False) -> int:
     if block is not None:
         return block
     if bm:
+        if n > 8:
+            return 1024
         return 16384 if n <= 6 else 4096
     if n <= 4:
         return DEFAULT_BLOCK
+    if n > 8:
+        return 1024
     return 4096 if n <= 6 else 2048
 
 
@@ -111,7 +119,7 @@ def _entries_rows(mat_ref_or_arr, n):
 # ---------------------------------------------------------------------------
 
 
-def _plu_grid(E, R, n):
+def _plu_grid(E, R, n, record=False):
     """In-register unrolled LU with partial pivoting on an entry grid
     (lists of lane vectors), eliminating the RHS rows ``R`` in place.
 
@@ -121,8 +129,16 @@ def _plu_grid(E, R, n):
     analog of ``ops.batched._plu_unrolled``). ``E`` and ``R`` are
     mutated; afterwards ``E`` holds U on/above the diagonal. Returns
     the permutation parity per lane (used by the determinant kernels).
+
+    ``record=True`` produces a reusable packed factorization: the L
+    multipliers are stored below the diagonal of ``E`` (later row
+    swaps permute them along, as in standard packed PLU) and the
+    per-step one-hot pivot masks are returned as well —
+    ``(parity, pivs)`` — so :func:`_plu_substitute` can apply
+    ``P A = L U`` to fresh right-hand sides (factor once, solve many).
     """
     parity = None
+    pivs = []
     for k in range(n):
         if k < n - 1:
             m = jnp.abs(E[k][k])
@@ -157,16 +173,142 @@ def _plu_grid(E, R, n):
                     E[i][j] = jnp.where(piv[i - k], old_k[j], E[i][j])
                 for c in range(len(R[i])):
                     R[i][c] = jnp.where(piv[i - k], old_kr[c], R[i][c])
+            if record:
+                pivs.append(piv)
         inv_p = 1.0 / E[k][k]
         for i in range(k + 1, n):
             l = E[i][k] * inv_p
+            if record:
+                E[i][k] = l
             for j in range(k + 1, n):
                 E[i][j] = E[i][j] - l * E[k][j]
             for c in range(len(R[i])):
                 R[i][c] = R[i][c] - l * R[k][c]
     if parity is None:
         parity = jnp.ones_like(E[0][0])
-    return parity
+    return (parity, pivs) if record else parity
+
+
+def _plu_rolled(A, R=None):
+    """Rolled (``lax.fori_loop``) one-hot pivoted LU on **stacked**
+    channel grids: ``A (n, n, *lane)`` and optional RHS
+    ``R (n, k, *lane)``, batch on the trailing lane axes.
+
+    Same algebra as :func:`_plu_grid` (one-hot first-max pivoting,
+    scatter-free masked row swaps, lane-parallel elimination) but one
+    traced step — compile time O(1) in n instead of O(n^3), which is
+    what makes the 9 <= n <= 16 tier viable (the unrolled grid at
+    n=16 is ~4k Mosaic ops). Returns ``(A, R, parity)`` with U on and
+    above the diagonal of ``A``.
+    """
+    n = A.shape[0]
+    lane = A.shape[2:]
+    dt = A.dtype
+    # one-hot masked indexing throughout: Mosaic has no dynamic_slice
+    # lowering inside TPU kernels, so "row k" / "column k" are masked
+    # reductions over the stacked grid (one extra full-grid pass each —
+    # same O(n^2)-per-step complexity as the rank-1 update itself)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * len(lane), 0)
+    cols1 = rows1
+    parity = jnp.ones(lane, dt)
+    no_rhs = R is None
+    # Mosaic rejects zero-sized vector carries — carry a 1-wide dummy
+    # RHS when there is none (negligible: one extra lane column)
+    Rz = jnp.zeros((n, 1) + lane, dt) if no_rhs else R
+    neg = jnp.asarray(-jnp.inf, dt)
+
+    def step(k, carry):
+        A, R, parity = carry
+        ek_r = (rows1 == k).astype(dt)  # one-hot row selector (n, *1)
+        colk = jnp.sum(A * ek_r[None, :], axis=1)  # A[:, k]  (n, *lane)
+        mag = jnp.where(rows1 >= k, jnp.abs(colk), neg)
+        hit = mag == jnp.max(mag, axis=0, keepdims=True)
+        # first-max tie-break as a static prefix scan over the stacked
+        # axis (n is static; Mosaic has no cumsum lowering)
+        taken = hit[0]
+        piv_rows = [hit[0]]
+        for i in range(1, n):
+            h = hit[i] & ~taken
+            piv_rows.append(h)
+            taken = taken | h
+        pivf = jnp.stack(piv_rows, axis=0).astype(dt)
+        stay = jnp.sum(pivf * ek_r, axis=0)
+        parity = parity * jnp.where(stay > 0, dt.type(1), dt.type(-1))
+        # scatter-free swap: A += (e_k - o_p) (x) (row_p - row_k)
+        rowk = jnp.sum(A * ek_r[:, None], axis=0)  # A[k, :]  (n, *lane)
+        rowp = jnp.sum(pivf[:, None] * A, axis=0)
+        A = A + (ek_r - pivf)[:, None] * (rowp - rowk)[None, :]
+        if R.shape[1]:
+            rk = jnp.sum(R * ek_r[:, None], axis=0)
+            rp = jnp.sum(pivf[:, None] * R, axis=0)
+            R = R + (ek_r - pivf)[:, None] * (rp - rk)[None, :]
+        # elimination of rows below k (l masked to 0 elsewhere)
+        rowk = jnp.sum(A * ek_r[:, None], axis=0)
+        pv = jnp.sum(rowk * (cols1 == k).astype(dt), axis=0)
+        colk = jnp.sum(A * ek_r[None, :], axis=1)
+        l = jnp.where(rows1 > k, colk / pv, jnp.zeros_like(colk))
+        A = A - l[:, None] * rowk[None, :]
+        if R.shape[1]:
+            rk2 = jnp.sum(R * ek_r[:, None], axis=0)
+            R = R - l[:, None] * rk2[None, :]
+        return A, R, parity
+
+    A, Rz, parity = jax.lax.fori_loop(0, n, step, (A, Rz, parity))
+    return A, (None if no_rhs else Rz), parity
+
+
+def _plu_rolled_backsub(U, R):
+    """Rolled back-substitution ``U x = r`` for the stacked grids of
+    :func:`_plu_rolled`: ``U (n, n, *lane)`` upper-triangular,
+    ``R (n, k, *lane)`` forward-eliminated RHS; returns ``X`` of R's
+    shape. Row i of the carry holds the solution for rows > i and the
+    eliminated RHS below."""
+    n = U.shape[0]
+    lane = U.shape[2:]
+    dt = U.dtype
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * len(lane), 0)
+
+    def bstep(t, X):
+        i = n - 1 - t
+        ei = (rows1 == i).astype(dt)
+        rowi = jnp.sum(U * ei[:, None], axis=0)  # U[i, :]
+        uii = jnp.sum(rowi * ei, axis=0)
+        masked = jnp.where(rows1 > i, rowi, jnp.zeros_like(rowi))
+        s = jnp.sum(masked[:, None] * X, axis=0)
+        ri = jnp.sum(X * ei[:, None], axis=0)
+        xi = (ri - s) / uii
+        # masked write of row i
+        return X + ei[:, None] * (xi - ri)[None, :]
+
+    return jax.lax.fori_loop(0, n, bstep, R)
+
+
+def _plu_substitute(E, pivs, r, n, inv_diag=None):
+    """Solve ``A x = r`` from a recorded packed factorization
+    (``_plu_grid(..., record=True)``): apply the one-hot row swaps and
+    the stored L multipliers forward, then back-substitute with U.
+    ``r`` is a list of n lane vectors (not mutated); ``inv_diag`` may
+    pass precomputed ``1/U[i][i]`` rows (loop-invariant across chained
+    solves). O(n^2) VPU work per solve vs O(n^3/3) for refactoring."""
+    r = list(r)
+    for k in range(n - 1):
+        piv = pivs[k]
+        old_k = r[k]
+        acc = r[k]
+        for i in range(k + 1, n):
+            acc = jnp.where(piv[i - k], r[i], acc)
+        r[k] = acc
+        for i in range(k + 1, n):
+            r[i] = jnp.where(piv[i - k], old_k, r[i])
+        for i in range(k + 1, n):
+            r[i] = r[i] - E[i][k] * r[k]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = r[i]
+        for j in range(i + 1, n):
+            acc = acc - E[i][j] * x[j]
+        x[i] = acc * inv_diag[i] if inv_diag is not None else acc / E[i][i]
+    return x
 
 
 def _plu_grid_solve(E, rhs_cols, n):
@@ -197,6 +339,31 @@ def _solve_kernel(n, eps_vec, refine, mat_ref, vec_ref, out_ref):
     if n == 1:
         x = v[0] / E[0][0]
         out_ref[0] = x
+        return
+
+    if n > 8:
+        # fori_loop-rolled one-hot PLU on stacked grids (O(1) compile)
+        lane = E[0][0].shape
+        A = jnp.stack([E[i][j] for i in range(n) for j in range(n)],
+                      axis=0).reshape((n, n) + lane)
+        R = jnp.stack(v, axis=0).reshape((n, 1) + lane)
+        U, Rf, _ = _plu_rolled(A, R)
+        X = _plu_rolled_backsub(U, Rf)
+        x = [X[i, 0] for i in range(n)]
+        for _ in range(refine):
+            r = []
+            for i in range(n):
+                acc = v[i] - E[i][i] * x[i]
+                for j in range(n):
+                    if j != i:
+                        acc = acc - E[i][j] * x[j]
+                r.append(acc)
+            Rr = jnp.stack(r, axis=0).reshape((n, 1) + lane)
+            U2, Rf2, _ = _plu_rolled(A, Rr)
+            dx = _plu_rolled_backsub(U2, Rf2)
+            x = [xi + dx[i, 0] for i, xi in enumerate(x)]
+        for i in range(n):
+            out_ref[i] = x[i]
         return
 
     if n > 4:
@@ -253,6 +420,23 @@ def _invert_kernel(n, mat_ref, out_ref):
     from ..ops.sym import _det_expand
 
     E = _entries_rows(mat_ref, n)
+    if n > 8:
+        lane = E[0][0].shape
+        A = jnp.stack([E[i][j] for i in range(n) for j in range(n)],
+                      axis=0).reshape((n, n) + lane)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (n, n) + (1,) * len(lane),
+                                      0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (n, n) + (1,) * len(lane),
+                                      1)
+        eye = jnp.broadcast_to((ri == ci).astype(A.dtype), (n, n) + lane)
+        U, R, _ = _plu_rolled(A, eye)
+        X = _plu_rolled_backsub(U, R)  # X[i, c] = inv[i][c]
+        for i in range(n):
+            out_ref[i] = X[i, i]
+        for i in range(n):
+            for j in range(i + 1, n):
+                out_ref[tri_index(i, j, n)] = 0.5 * (X[i, j] + X[j, i])
+        return
     if n > 4:
         # unrolled pivoted LU against the n identity columns; the
         # result is symmetrized into compact storage (the exact inverse
@@ -451,8 +635,9 @@ def sym_solve_cf(
             f"channel-first sym_solve expects mat ({compact_size(n)}, ...) "
             f"for vec ({n}, ...); got {mat.shape[0]}"
         )
-    if n > MAX_N:
-        raise ValueError(f"pallas sym_solve_cf implements N <= {MAX_N}")
+    if n > MAX_N_ROLLED:
+        raise ValueError(
+            f"pallas sym_solve_cf implements N <= {MAX_N_ROLLED}")
     block = _default_block(n, block, bm)
     if refine is None:
         refine = 1 if n <= 4 else 0
@@ -466,6 +651,165 @@ def sym_solve_cf(
     v2 = vec.reshape(n, -1)
     out = _solve_cf(m2, v2, _prep_eps(eps, n, dtype), block, bool(interpret),
                     int(refine), bool(bm))
+    return _downcast(out.reshape(n, *batch_shape), half)
+
+
+# --- fused-iteration chain solve -------------------------------------------
+
+
+def _solve_chain_kernel(n, eps_vec, iters, mat_ref, vec_ref, add_ref,
+                        out_ref):
+    """``x <- A \\ x + c`` iterated ``iters`` times entirely inside one
+    grid step: the matrix block is read from HBM **once**, the
+    loop-invariant solve machinery is computed **once** (cofactor grid
+    + 1/det for N <= 4; the packed pivoted-LU factorization + 1/U_ii
+    for 5 <= N <= 8 — standard factor-once/solve-many), and every
+    ``lax.fori_loop`` iteration then applies the complete solve to the
+    new, data-dependent RHS in registers. HBM traffic per
+    solve-iteration is ~(NN + 3N) * 4 / iters bytes, so the kernel is
+    VPU-compute-bound — the fused form of the ``lax.scan``-of-
+    ``sym_solve`` sustained workload (``bench.py``), which re-reads A
+    and re-derives the factorization from HBM every iteration."""
+    E = _entries_rows(mat_ref, n)
+    if eps_vec is not None:
+        for i in range(n):
+            E[i][i] = E[i][i] + eps_vec[i]
+    x0 = tuple(vec_ref[j] for j in range(n))
+    c = [add_ref[j] for j in range(n)]
+
+    if n == 1:
+        inv = 1.0 / E[0][0]
+
+        def body1(t, xs):
+            return (xs[0] * inv + c[0],)
+
+        xs = jax.lax.fori_loop(0, iters, body1, x0)
+    elif n <= 4:
+        cache = {}
+        idx = tuple(range(n))
+        det = _det_expand(E, idx, idx, cache)
+        inv_det = 1.0 / det
+        adj = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                rows = tuple(r for r in idx if r != j)
+                cols = tuple(cc for cc in idx if cc != i)
+                minor = _det_expand(E, rows, cols, cache)
+                adj[i][j] = -minor if (i + j) % 2 else minor
+
+        def body(t, xs):
+            ys = []
+            for i in range(n):
+                acc = adj[i][0] * xs[0]
+                for j in range(1, n):
+                    acc = acc + adj[i][j] * xs[j]
+                ys.append(acc * inv_det + c[i])
+            return tuple(ys)
+
+        xs = jax.lax.fori_loop(0, iters, body, x0)
+    else:
+        E2 = [row[:] for row in E]
+        _, pivs = _plu_grid(E2, [[] for _ in range(n)], n, record=True)
+        inv_d = [1.0 / E2[i][i] for i in range(n)]
+
+        def body_plu(t, xs):
+            ys = _plu_substitute(E2, pivs, list(xs), n, inv_d)
+            return tuple(y + ci for y, ci in zip(ys, c))
+
+        xs = jax.lax.fori_loop(0, iters, body_plu, x0)
+    for i in range(n):
+        out_ref[i] = xs[i]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _solve_chain_cf(mat, vec, add, eps_tuple, iters, block, interpret, bm):
+    n = vec.shape[0]
+    kern = functools.partial(_solve_chain_kernel, n, eps_tuple, iters)
+    return _call_rows(kern, (mat, vec, add), n, block, interpret,
+                      diag_rows=n, bm=bm)
+
+
+def _solve_chain_fwd(mat, vec, add, eps_tuple, iters, block, interpret, bm):
+    out = _solve_chain_cf(mat, vec, add, eps_tuple, iters, block, interpret,
+                          bm)
+    return out, (mat, vec, add)
+
+
+def _solve_chain_bwd(eps_tuple, iters, block, interpret, bm, res, g):
+    # Recompute-based VJP: replay the chain as `iters` differentiable
+    # solves (each step's solve VJP is itself two kernel solves + a
+    # compact outer) and pull back through the scan. Memory is
+    # O(iters * batch) for the step residuals — fine at training-size
+    # batches; the forward fused kernel exists for inference/benchmark
+    # scale where no gradient is taken.
+    mat, vec, add = res
+
+    def replay(m, v, a):
+        def body(x, _):
+            return _solve_cf(m, x, eps_tuple, block, interpret, 0, bm) + a, ()
+
+        return jax.lax.scan(body, v, None, length=iters)[0]
+
+    _, pull = jax.vjp(replay, mat, vec, add)
+    return pull(g)
+
+
+_solve_chain_cf.defvjp(_solve_chain_fwd, _solve_chain_bwd)
+
+
+def sym_solve_chain_cf(
+    mat: jnp.ndarray,
+    vec: jnp.ndarray,
+    iters: int = 1,
+    add: Optional[jnp.ndarray] = None,
+    eps=None,
+    block: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    bm: bool = False,
+) -> jnp.ndarray:
+    r"""Channel-first fused iterated solve: ``x_0 = vec``,
+    ``x_{t+1} = A \ x_t + add``, returning ``x_iters``.
+
+    One kernel launch runs the whole chain with the matrix block and
+    its factorization resident in VMEM/registers (see
+    :func:`_solve_chain_kernel`). This is an extension op (the
+    reference has no fused iteration; its ``meanm`` loop re-launches
+    per step, reference ``lie.py:76-91``) — the native tier for
+    iterative workloads whose per-step state is a solve output.
+    """
+    mat, vec, half = upcast_half(mat, vec)
+    n = vec.shape[0]
+    if mat.shape[0] != compact_size(n):
+        raise ValueError(
+            f"channel-first sym_solve_chain expects mat "
+            f"({compact_size(n)}, ...) for vec ({n}, ...); got "
+            f"{mat.shape[0]}"
+        )
+    if n > MAX_N:
+        raise ValueError(f"pallas sym_solve_chain_cf implements N <= {MAX_N}")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if block is None:
+        # chip-swept for the chain kernel: compute per grid step is
+        # ~iters x the single-solve kernels', so smaller blocks
+        # pipeline better (v5e, k=128/32: 4x4 2.39e10 at 8192 vs
+        # 2.12e10 at 32768; 6x6 6.05e9 at 4096 vs 5.84e9 at 8192)
+        block = 8192 if n <= 4 else 4096
+    if interpret is None:
+        interpret = _interpret_default()
+    dtype = jnp.result_type(mat, vec) if add is None else jnp.result_type(
+        mat, vec, add)
+    if add is None:
+        add = jnp.zeros((n,) + (1,) * (vec.ndim - 1), dtype)
+    batch_shape = np.broadcast_shapes(mat.shape[1:], vec.shape[1:],
+                                      add.shape[1:])
+    mat = jnp.broadcast_to(mat.astype(dtype), (mat.shape[0], *batch_shape))
+    vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
+    add = jnp.broadcast_to(add.astype(dtype), (n, *batch_shape))
+    out = _solve_chain_cf(
+        mat.reshape(mat.shape[0], -1), vec.reshape(n, -1),
+        add.reshape(n, -1), _prep_eps(eps, n, dtype), int(iters), block,
+        bool(interpret), bool(bm))
     return _downcast(out.reshape(n, *batch_shape), half)
 
 
@@ -545,9 +889,26 @@ def _invert_cf_fwd(mat, block, interpret, bm=False):
 def _invert_cf_bwd(block, interpret, bm, y, g):
     # Y = inv(A) read from the upper triangle: with Gbar[i,j] = g_k for
     # i <= j (0 below), Abar_full = -Y Gbar Y, and the compact cotangent
-    # folds (i, j) + (j, i). Trace-time n^4 loop (n <= 4).
+    # folds (i, j) + (j, i). Trace-time n^4 loop (n <= 8); batch-major
+    # MXU matmuls beyond (the loop would trace 65k+ terms at n=16).
     nn = y.shape[0]
     n = sym_dim(nn)
+    if n > 8:
+        from ..layouts.sym import sym_to_full
+
+        Yf = sym_to_full(jnp.moveaxis(y, 0, -1))  # (..., n, n)
+        idxmap = np.asarray(
+            [[tri_index(i, j, n) for j in range(n)] for i in range(n)])
+        upper = np.triu(np.ones((n, n), dtype=bool))
+        Gm = jnp.moveaxis(g, 0, -1)
+        Gf = jnp.where(jnp.asarray(upper), Gm[..., jnp.asarray(idxmap)],
+                       jnp.zeros((), g.dtype))
+        Ab = -(Yf @ Gf @ Yf)
+        rows = [Ab[..., i, i] for i in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                rows.append(Ab[..., i, j] + Ab[..., j, i])
+        return (jnp.stack(rows, axis=0),)
     Y = [[y[tri_index(i, j, n)] for j in range(n)] for i in range(n)]
     G = [[g[tri_index(i, j, n)] if i <= j else None for j in range(n)]
          for i in range(n)]
@@ -583,8 +944,9 @@ def sym_invert_cf(
     mat, half = upcast_half(mat)
     nn = mat.shape[0]
     n = sym_dim(nn)
-    if n > MAX_N:
-        raise ValueError(f"pallas sym_invert_cf implements N <= {MAX_N}")
+    if n > MAX_N_ROLLED:
+        raise ValueError(
+            f"pallas sym_invert_cf implements N <= {MAX_N_ROLLED}")
     block = _default_block(n, block, bm)
     if interpret is None:
         interpret = _interpret_default()
@@ -759,6 +1121,16 @@ def _det_sym_kernel(n, mat_ref, out_ref):
     from ..ops.sym import _det_expand
 
     E = _entries_rows(mat_ref, n)
+    if n > 8:
+        lane = E[0][0].shape
+        A = jnp.stack([E[i][j] for i in range(n) for j in range(n)],
+                      axis=0).reshape((n, n) + lane)
+        U, _, parity = _plu_rolled(A)
+        det = U[0, 0]
+        for i in range(1, n):
+            det = det * U[i, i]
+        out_ref[0] = det * parity
+        return
     if n > 4:
         # in-register PLU: det = parity * prod(diag(U))
         E = [row[:] for row in E]
@@ -838,8 +1210,9 @@ def sym_det_cf(
     mat, half = upcast_half(mat)
     nn = mat.shape[0]
     n = sym_dim(nn)
-    if n > MAX_N:
-        raise ValueError(f"pallas sym_det_cf implements N <= {MAX_N}")
+    if n > MAX_N_ROLLED:
+        raise ValueError(
+            f"pallas sym_det_cf implements N <= {MAX_N_ROLLED}")
     block = _default_block(n, block, bm)
     if interpret is None:
         interpret = _interpret_default()

@@ -32,14 +32,15 @@ from ._routing import use_pallas as _use_pallas
 from .sym import _det_expand  # shared trace-time Laplace expansion
 
 #: largest n served by the Pallas full-matrix tier
-#: (kernels/batched_pallas.py)
-_PALLAS_MAX_N = 8
+#: (kernels/batched_pallas.py: unrolled register PLU to 8, rolled
+#: stacked-grid PLU 9..16 — the BASELINE <=16x16 gate)
+_PALLAS_MAX_N = 16
 
 
 def _route_full(backend, n, dtype, batch, auto=True):
     """Routing decision for the full-storage batched ops (mirrors
     ``ops/sym.py:_route_compact``; the native tier serves square real
-    floats with n <= 8)."""
+    floats with n <= 16)."""
     supported = (
         n <= _PALLAS_MAX_N
         and jnp.issubdtype(jnp.dtype(dtype), jnp.floating)
@@ -394,7 +395,7 @@ def batchlmdiv(
     n = a.shape[-1]
     vector_rhs = b.ndim == a.ndim - 1
     k = 1 if vector_rhs else b.shape[-1]
-    if (not regularize and k <= 8
+    if (not regularize and k <= (16 if n > 8 else 8)
             and _route_full(backend, n, a.dtype, _nb(a), auto=n > 4)):
         from ..kernels.batched_pallas import solve_full_cf
 
@@ -494,15 +495,22 @@ def batchchol(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     return _downcast(jnp.stack(rows, axis=-2), half)
 
 
-def batchlogdet(a: jnp.ndarray) -> jnp.ndarray:
+def batchlogdet(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """Batched ``log |det A|`` ``(..., n, n) -> (...)``.
 
     Closed form via the n <= 4 determinant, unrolled pivoted LU for
     n <= 8, fori_loop-rolled PLU for n <= 16, ``jnp.linalg.slogdet``
-    beyond. (North-star extension, ``BASELINE.json`` configs[2].)
+    beyond. ``backend="auto"`` dispatches to the Pallas in-register
+    PLU tier on TPU where it wins (5 <= n <= 16; the log of |diag U|
+    accumulates in registers). (North-star extension, ``BASELINE.json``
+    configs[2].)
     """
     a, half = upcast_half(a)
     n = a.shape[-1]
+    if _route_full(backend, n, a.dtype, _nb(a)):
+        from ..kernels.batched_pallas import logdet_cf
+
+        return _downcast(logdet_cf(_to_channels(a, n), bm=True), half)
     if n <= _CLOSED_FORM_MAX:
         return _downcast(jnp.log(jnp.abs(batchdet(a))), half)
     if n <= LU_UNROLL_MAX:

@@ -59,6 +59,7 @@ __all__ = [
     "sym_submatvec_",
     "sym_solve",
     "sym_solve_",
+    "sym_solve_chain",
     "sym_invert",
     "sym_invert_",
 ]
@@ -69,6 +70,9 @@ _CLOSED_FORM_MAX = 4
 _UNROLL_MATVEC_MAX = 8
 # N <= this is served by the Pallas native tier (kernels/sym_pallas.py)
 _PALLAS_MAX_N = 8
+# solve/invert/det reach N <= 16 via the rolled stacked-grid PLU
+# (kernels/sym_pallas.py MAX_N_ROLLED; the BASELINE <=16x16 gate)
+_PALLAS_ROLLED_MAX_N = 16
 
 from ..core.dtypes import downcast as _downcast, upcast_half
 from ._routing import nbatch as _nbatch, use_pallas as _use_pallas
@@ -343,7 +347,8 @@ def sym_solve(
     mat, vec, half = upcast_half(mat, vec)
     n = vec.shape[-1]
     layout = classify_layout(mat.shape[-1], n)
-    if _route_compact(backend, layout, n, mat.dtype, _nbatch(mat, vec)):
+    if _route_compact(backend, layout, n, mat.dtype, _nbatch(mat, vec),
+                      n_max=_PALLAS_ROLLED_MAX_N):
         from ..kernels.sym_pallas import sym_solve_cf
 
         return _downcast(
@@ -352,6 +357,86 @@ def sym_solve(
         )
     return _downcast(_sym_solve_impl(mat, vec, eps,
                                      int(refine or 0)), half)
+
+
+def sym_solve_chain(
+    mat: jnp.ndarray,
+    vec: jnp.ndarray,
+    iters: int = 1,
+    add: Optional[jnp.ndarray] = None,
+    eps: Optional[Union[float, Sequence[float]]] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    r"""Iterated left division: ``x_0 = vec``, ``x_{t+1} = A \ x_t``
+    (``+ add`` when given); returns ``x_iters``.
+
+    The sustained form of :func:`sym_solve` for iterative workloads
+    (fixed-point / Richardson-type recurrences — cf. the reference's
+    ``meanm`` loop, reference ``lie.py:76-91``, which re-launches the
+    solve per step). Extension op: the reference has no fused
+    iteration.
+
+    ``backend="auto"`` routes to the fused Pallas chain kernel on TPU
+    (:func:`fastmath_tpu.kernels.sym_solve_chain_cf`): each matrix
+    block and its loop-invariant solve machinery (cofactor grid +
+    1/det for N <= 4, packed pivoted-LU factorization for
+    5 <= N <= 8 — factor once, solve many) stays in VMEM/registers
+    across all ``iters`` iterations, so HBM traffic per solve is
+    ~(NN+3N)*4/iters bytes and the chain runs VPU-compute-bound
+    instead of at the stream/dispatch bound that caps a ``lax.scan``
+    of :func:`sym_solve` (``BENCH_MEASURED.md``). ``backend="xla"``
+    runs exactly that scan. Both are differentiable (the kernel's VJP
+    replays the scan of per-step solve VJPs; memory
+    O(iters * batch)).
+    """
+    import jax as _jax
+
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if iters == 0:
+        return vec
+    arrays = (mat, vec) if add is None else (mat, vec, add)
+    *arrays, half = upcast_half(*arrays)
+    mat, vec = arrays[0], arrays[1]
+    add_ = arrays[2] if add is not None else None
+    n = vec.shape[-1]
+    layout = classify_layout(mat.shape[-1], n)
+    batch = _nbatch(*arrays)
+    if iters > 1 and _use_pallas(
+        backend,
+        supported=_pallas_supported(layout, n, mat.dtype),
+        batch=batch,
+        dtype=mat.dtype,
+        small_n=False,
+        why_unsupported=(
+            f"pallas chain kernel serves compact-symmetric storage with "
+            f"N <= {_PALLAS_MAX_N} and real floating dtypes (got layout="
+            f"{layout.name}, N={n}, {jnp.dtype(mat.dtype).name})"
+        ),
+    ):
+        from ..kernels.sym_pallas import sym_solve_chain_cf
+
+        if add_ is None:
+            out = _cf_call(sym_solve_chain_cf, True, mat, vec,
+                           iters=iters, eps=eps)
+        else:
+            out = _cf_call(
+                lambda m, v, a, **kw: sym_solve_chain_cf(m, v, add=a, **kw),
+                True, mat, vec, add_, iters=iters, eps=eps)
+        return _downcast(out, half)
+
+    step_backend = "auto" if backend == "pallas" else backend
+
+    def body(x, _):
+        y = sym_solve(mat, x, eps=eps, backend=step_backend)
+        if add_ is not None:
+            y = y + add_
+        return y, ()
+
+    batch_shape = np.broadcast_shapes(*(a.shape[:-1] for a in arrays))
+    out = _jax.lax.scan(body, jnp.broadcast_to(vec, batch_shape + (n,)),
+                        None, length=iters)[0]
+    return _downcast(out, half)
 
 
 def _sym_solve_impl(mat, vec, eps, refine=0):
@@ -454,7 +539,8 @@ def sym_det(mat: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     mat, half = upcast_half(mat)
     n = sym_dim(mat.shape[-1])
     layout = MatrixLayout.COMPACT_SYM
-    if _route_compact(backend, layout, n, mat.dtype, _nbatch(mat)):
+    if _route_compact(backend, layout, n, mat.dtype, _nbatch(mat),
+                      n_max=_PALLAS_ROLLED_MAX_N):
         from ..kernels.sym_pallas import sym_det_cf
 
         return _downcast(_cf_call(sym_det_cf, False, mat), half)
@@ -479,7 +565,7 @@ def sym_invert(
     mat, half = upcast_half(mat)
     n = sym_dim(mat.shape[-1])
     if _route_compact(backend, MatrixLayout.COMPACT_SYM, n, mat.dtype,
-                      _nbatch(mat)):
+                      _nbatch(mat), n_max=_PALLAS_ROLLED_MAX_N):
         from ..kernels.sym_pallas import sym_invert_cf
 
         out = jnp.moveaxis(sym_invert_cf(jnp.moveaxis(mat, -1, 0), bm=True),

@@ -40,3 +40,19 @@ def rng():
 
 def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()}, devices: {jax.device_count()}"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    One process compiles thousands of distinct jitted programs across
+    the suite; past ~25 min of accumulated executables the XLA CPU
+    client segfaults inside a later compile (reproducible at the same
+    test, gone when the same module runs alone or with only half the
+    suite before it). Dropping caches at module boundaries keeps the
+    live-executable count bounded; within a module everything still
+    shares compilations.
+    """
+    yield
+    jax.clear_caches()

@@ -136,3 +136,107 @@ def test_det_grad_plu(rng):
         fd = (loss(cfj + e) - loss(cfj - e)) / (2 * h)
         np.testing.assert_allclose(np.asarray(g[idx]), np.asarray(fd),
                                    rtol=1e-4, atol=1e-6)
+
+
+# --- rolled stacked-grid PLU tier (9 <= n <= 16, BASELINE 16x16 gate) ------
+
+
+@pytest.mark.parametrize("n", [9, 12, 16])
+def test_rolled_tier_solve_inv_det_logdet(n, rng):
+    from fastmath_tpu.kernels.batched_pallas import logdet_cf, solve_full_cf
+
+    b = 260
+    a = rng.standard_normal((b, n, n))
+    spd = np.einsum("...ij,...kj->...ik", a, a) + n * np.eye(n)
+    cf = jnp.asarray(np.ascontiguousarray(spd.reshape(b, n * n).T))
+    got_inv = np.asarray(inv_cf(cf, block=128)).T.reshape(b, n, n)
+    np.testing.assert_allclose(got_inv, np.linalg.inv(spd), atol=1e-9)
+    det = np.linalg.det(spd)
+    np.testing.assert_allclose(np.asarray(det_cf(cf, block=128)), det,
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(logdet_cf(cf, block=128)),
+                               np.linalg.slogdet(spd)[1], rtol=1e-9,
+                               atol=1e-12)
+    k = 3
+    rhs = rng.standard_normal((b, n, k))
+    rcf = jnp.asarray(np.ascontiguousarray(rhs.reshape(b, n * k).T))
+    got_s = np.asarray(solve_full_cf(cf, rcf, k=k, block=128))
+    np.testing.assert_allclose(got_s.T.reshape(b, n, k),
+                               np.linalg.solve(spd, rhs), atol=1e-8)
+
+
+def test_rolled_tier_pivoting_general(rng):
+    """Non-SPD inputs exercise the one-hot row swaps for real."""
+    n, b = 12, 260
+    a = rng.standard_normal((b, n, n))  # unregularized: pivoting matters
+    cf = jnp.asarray(np.ascontiguousarray(a.reshape(b, n * n).T))
+    want = np.linalg.inv(a)
+    got = np.asarray(inv_cf(cf, block=128)).T.reshape(b, n, n)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+
+def test_rolled_tier_grads(rng):
+    from fastmath_tpu.kernels.batched_pallas import logdet_cf, solve_full_cf
+
+    n, b, h = 10, 64, 1e-6
+    a = rng.standard_normal((b, n, n))
+    spd = np.einsum("...ij,...kj->...ik", a, a) + n * np.eye(n)
+    cf = jnp.asarray(np.ascontiguousarray(spd.reshape(b, n * n).T))
+    probes = [(5, 3), (n * n - 1, 7)]
+
+    def fd_check(loss, g, x, extra=None):
+        for idx in probes:
+            e = jnp.zeros_like(x).at[idx].set(h)
+            args = ((x + e,) if extra is None else (x + e, extra))
+            args2 = ((x - e,) if extra is None else (x - e, extra))
+            fd = (loss(*args) - loss(*args2)) / (2 * h)
+            np.testing.assert_allclose(np.asarray(g[idx]), np.asarray(fd),
+                                       rtol=1e-4, atol=1e-6)
+
+    linv = lambda m: jnp.sum(jnp.sin(inv_cf(m, block=128)))
+    fd_check(linv, jax.grad(linv)(cf), cf)
+    lld = lambda m: jnp.sum(jnp.sin(logdet_cf(m, block=128)))
+    fd_check(lld, jax.grad(lld)(cf), cf)
+    k = 2
+    rhs = jnp.asarray(np.ascontiguousarray(
+        rng.standard_normal((b, n, k)).reshape(b, n * k).T))
+    ls = lambda m, r: jnp.sum(jnp.sin(solve_full_cf(m, r, k=k, block=128)))
+    fd_check(lambda m, r: ls(m, r), jax.grad(ls, argnums=0)(cf, rhs), cf,
+             extra=rhs)
+
+
+def test_rolled_tier_public_routing(rng):
+    """Public ops at 16x16 agree across backends (incl. vector lmdiv)."""
+    from fastmath_tpu.ops import batched as B_
+    from fastmath_tpu.ops.sym import sym_det, sym_invert, sym_solve
+    from fastmath_tpu.layouts.sym import sym_to_full
+
+    n, b = 16, 200
+    a = rng.standard_normal((b, n, n))
+    spd = np.einsum("...ij,...kj->...ik", a, a) + n * np.eye(n)
+    aj = jnp.asarray(spd)
+    v = jnp.asarray(rng.standard_normal((b, n)))
+    for backend in ("pallas", "xla"):
+        np.testing.assert_allclose(
+            np.asarray(B_.batchinv(aj, backend=backend)),
+            np.linalg.inv(spd), atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(B_.batchlogdet(aj, backend=backend)),
+            np.linalg.slogdet(spd)[1], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(B_.batchlmdiv(aj, v, backend=backend)),
+            np.linalg.solve(spd, np.asarray(v)[..., None])[..., 0],
+            atol=1e-8)
+    c = jnp.asarray(np.asarray(full_to_sym(aj)))
+    for backend in ("pallas", "xla"):
+        np.testing.assert_allclose(
+            np.asarray(sym_solve(c, v, backend=backend)),
+            np.linalg.solve(spd, np.asarray(v)[..., None])[..., 0],
+            atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(sym_to_full(jnp.asarray(
+                sym_invert(c, backend=backend)))),
+            np.linalg.inv(spd), atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(sym_det(c, backend=backend)), np.linalg.det(spd),
+            rtol=1e-8)

@@ -228,3 +228,99 @@ def test_broadcast_matvec_scalar_mat(rng):
     got = np.asarray(sym_matvec_cf(jnp.asarray(cf)[:, None],
                                    jnp.asarray(v.T.copy()), block=128)).T
     np.testing.assert_allclose(got, v @ full.T, rtol=1e-12)
+
+
+# --- fused-iteration chain solve (sym_solve_chain / sym_solve_chain_cf) ----
+
+
+def _chain_oracle(full, vec, iters, add=None):
+    x = vec.copy()
+    for _ in range(iters):
+        x = np.linalg.solve(full, x[..., None])[..., 0]
+        if add is not None:
+            x = x + add
+    return x
+
+
+@pytest.mark.parametrize("n", NS)
+@pytest.mark.parametrize("iters", [1, 4])
+def test_solve_chain_cf(n, iters, rng):
+    full, mat_cf = random_sym_cf(rng, 300, n)
+    vec = rng.standard_normal((300, n))
+    add = rng.standard_normal((300, n))
+    from fastmath_tpu.kernels import sym_solve_chain_cf
+
+    got = np.asarray(
+        sym_solve_chain_cf(jnp.asarray(mat_cf), jnp.asarray(vec.T),
+                           iters=iters, add=jnp.asarray(add.T.copy()),
+                           block=256)).T
+    np.testing.assert_allclose(got, _chain_oracle(full, vec, iters, add),
+                               rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [2, 6])
+def test_solve_chain_cf_no_add_bm(n, rng):
+    full, mat_cf = random_sym_cf(rng, 200, n)
+    vec = rng.standard_normal((200, n))
+    from fastmath_tpu.kernels import sym_solve_chain_cf
+
+    got = np.asarray(
+        sym_solve_chain_cf(jnp.asarray(mat_cf), jnp.asarray(vec.T),
+                           iters=3, block=128, bm=True)).T
+    np.testing.assert_allclose(got, _chain_oracle(full, vec, 3),
+                               rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [3, 8])
+def test_solve_chain_public_backends_agree(n, rng):
+    from fastmath_tpu.ops.sym import sym_solve_chain
+
+    full, mat_cf = random_sym_cf(rng, 150, n)
+    compact = jnp.asarray(np.ascontiguousarray(mat_cf.T))
+    vec = rng.standard_normal((150, n))
+    add = rng.standard_normal((n,))  # broadcast add
+    want = _chain_oracle(full, vec, 3, np.broadcast_to(add, (150, n)))
+    for backend in ("xla", "pallas", "auto"):
+        got = np.asarray(sym_solve_chain(compact, jnp.asarray(vec), 3,
+                                         add=jnp.asarray(add),
+                                         backend=backend))
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+    # iters=0 is the identity on vec
+    np.testing.assert_allclose(
+        np.asarray(sym_solve_chain(compact, jnp.asarray(vec), 0)), vec)
+
+
+def test_solve_chain_grad_matches_scan(rng):
+    """The kernel VJP (scan replay) must equal AD through the XLA scan."""
+    from fastmath_tpu.ops.sym import sym_solve_chain
+
+    n, b = 3, 64
+    full, mat_cf = random_sym_cf(rng, b, n)
+    c = jnp.asarray(np.ascontiguousarray(mat_cf.T))
+    v = jnp.asarray(rng.standard_normal((b, n)))
+    ad = jnp.asarray(rng.standard_normal((b, n)))
+
+    def loss(backend):
+        return lambda c, v, ad: jnp.sum(
+            jnp.sin(sym_solve_chain(c, v, 3, add=ad, backend=backend)))
+
+    gp = jax.grad(loss("pallas"), argnums=(0, 1, 2))(c, v, ad)
+    gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(c, v, ad)
+    for a_, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-9, atol=1e-11)
+
+
+def test_solve_chain_eps_and_f32(rng):
+    from fastmath_tpu.ops.sym import sym_solve_chain
+
+    n, b = 4, 256
+    full, mat_cf = random_sym_cf(rng, b, n)
+    c32 = jnp.asarray(np.ascontiguousarray(mat_cf.T), jnp.float32)
+    v32 = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+    eps = 0.25
+    want = _chain_oracle(full + eps * np.eye(n),
+                         np.asarray(v32, np.float64), 2)
+    got = np.asarray(sym_solve_chain(c32, v32, 2, eps=eps,
+                                     backend="pallas"), np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
