@@ -285,7 +285,7 @@ def main():
 
     # --- fused-iteration chain kernel (sym_solve_chain) --------------------
     if on("chain"):
-        for n_, kk in ((4, 128), (6, 32), (8, 32)):
+        for n_, kk in ((4, 128), (6, 32), (8, 32), (16, 32)):
             a_ = spd_batch(rng, BIG, n_)
             c_ = np.asarray(full_to_sym(jnp.asarray(a_)))
             v_ = rng.standard_normal((BIG, n_)).astype(np.float32)

@@ -707,7 +707,7 @@ def _solve_chain_kernel(n, eps_vec, iters, mat_ref, vec_ref, add_ref,
             return tuple(ys)
 
         xs = jax.lax.fori_loop(0, iters, body, x0)
-    else:
+    elif n <= 8:
         E2 = [row[:] for row in E]
         _, pivs = _plu_grid(E2, [[] for _ in range(n)], n, record=True)
         inv_d = [1.0 / E2[i][i] for i in range(n)]
@@ -717,6 +717,32 @@ def _solve_chain_kernel(n, eps_vec, iters, mat_ref, vec_ref, add_ref,
             return tuple(y + ci for y, ci in zip(ys, c))
 
         xs = jax.lax.fori_loop(0, iters, body_plu, x0)
+    else:
+        # rolled tier (9 <= N <= 16): explicit inverse once per block
+        # via the rolled PLU (the same algebra the N <= 4 path applies
+        # per iteration — adj(A)/det IS the inverse), then one O(n^2)
+        # masked matvec per iteration. Loop carry is a stacked (n,
+        # lane) grid; no dynamic indexing (Mosaic).
+        lane = E[0][0].shape
+        A = jnp.stack([E[i][j] for i in range(n) for j in range(n)],
+                      axis=0).reshape((n, n) + lane)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (n, n) + (1,) * len(lane),
+                                      0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (n, n) + (1,) * len(lane),
+                                      1)
+        eye = jnp.broadcast_to((ri == ci).astype(A.dtype), (n, n) + lane)
+        U, R, _ = _plu_rolled(A, eye)
+        Inv = _plu_rolled_backsub(U, R)  # Inv[i, j] = inv[i][j]
+        x_st = jnp.stack(list(x0), axis=0)  # (n, *lane)
+        c_st = jnp.stack(c, axis=0)
+
+        def body_inv(t, xs):
+            return jnp.sum(Inv * xs[None, :], axis=1) + c_st
+
+        xs_st = jax.lax.fori_loop(0, iters, body_inv, x_st)
+        for i in range(n):
+            out_ref[i] = xs_st[i]
+        return
     for i in range(n):
         out_ref[i] = xs[i]
 
@@ -785,16 +811,19 @@ def sym_solve_chain_cf(
             f"({compact_size(n)}, ...) for vec ({n}, ...); got "
             f"{mat.shape[0]}"
         )
-    if n > MAX_N:
-        raise ValueError(f"pallas sym_solve_chain_cf implements N <= {MAX_N}")
+    if n > MAX_N_ROLLED:
+        raise ValueError(
+            f"pallas sym_solve_chain_cf implements N <= {MAX_N_ROLLED}")
     if iters < 0:
         raise ValueError("iters must be >= 0")
     if block is None:
         # chip-swept for the chain kernel: compute per grid step is
         # ~iters x the single-solve kernels', so smaller blocks
         # pipeline better (v5e, k=128/32: 4x4 2.39e10 at 8192 vs
-        # 2.12e10 at 32768; 6x6 6.05e9 at 4096 vs 5.84e9 at 8192)
-        block = 8192 if n <= 4 else 4096
+        # 2.12e10 at 32768; 6x6 6.05e9 at 4096 vs 5.84e9 at 8192).
+        # The rolled tier (n > 8) carries inverse + U + RHS stacked
+        # grids — 4096 exceeds the 16 MB scoped-VMEM limit at 16x16
+        block = 8192 if n <= 4 else (4096 if n <= 8 else 1024)
     if interpret is None:
         interpret = _interpret_default()
     dtype = jnp.result_type(mat, vec) if add is None else jnp.result_type(

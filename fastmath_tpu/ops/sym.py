@@ -404,14 +404,15 @@ def sym_solve_chain(
     batch = _nbatch(*arrays)
     if iters > 1 and _use_pallas(
         backend,
-        supported=_pallas_supported(layout, n, mat.dtype),
+        supported=_pallas_supported(layout, n, mat.dtype,
+                                    n_max=_PALLAS_ROLLED_MAX_N),
         batch=batch,
         dtype=mat.dtype,
         small_n=False,
         why_unsupported=(
             f"pallas chain kernel serves compact-symmetric storage with "
-            f"N <= {_PALLAS_MAX_N} and real floating dtypes (got layout="
-            f"{layout.name}, N={n}, {jnp.dtype(mat.dtype).name})"
+            f"N <= {_PALLAS_ROLLED_MAX_N} and real floating dtypes (got "
+            f"layout={layout.name}, N={n}, {jnp.dtype(mat.dtype).name})"
         ),
     ):
         from ..kernels.sym_pallas import sym_solve_chain_cf

@@ -324,3 +324,23 @@ def test_solve_chain_eps_and_f32(rng):
     got = np.asarray(sym_solve_chain(c32, v32, 2, eps=eps,
                                      backend="pallas"), np.float64)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [12, 16])
+def test_solve_chain_rolled_tier(n, rng):
+    """Chain at 9 <= N <= 16: rolled-PLU inverse applied per iteration
+    (same algebra as the N <= 4 adjugate/det application)."""
+    from fastmath_tpu.ops.sym import sym_solve_chain
+
+    b = 256
+    a = rng.standard_normal((b, n, n))
+    spd = np.einsum("...ij,...kj->...ik", a, a) + n * np.eye(n)
+    c = jnp.asarray(np.asarray(full_to_sym(jnp.asarray(spd))))
+    v = jnp.asarray(rng.standard_normal((b, n)))
+    ad = jnp.asarray(rng.standard_normal((b, n)))
+    ref = np.asarray(v)
+    for _ in range(3):
+        ref = np.linalg.solve(spd, ref[..., None])[..., 0] + np.asarray(ad)
+    for backend in ("pallas", "xla"):
+        got = np.asarray(sym_solve_chain(c, v, 3, add=ad, backend=backend))
+        np.testing.assert_allclose(got, ref, rtol=1e-7, atol=1e-8)
