@@ -48,6 +48,26 @@ def test_smoke_sym_solve_pallas(rng, n):
     assert nw.max() < 1e-5
 
 
+@pytest.mark.parametrize("n", [4, 16])
+def test_smoke_sym_solve_chain_pallas(rng, n):
+    """Fused-iteration chain kernel, adjugate (n<=4) and rolled-PLU
+    (9<=n<=16) tiers."""
+    k = 4
+    spd = _spd(rng, _B, n)
+    v = rng.standard_normal((_B, n)).astype(np.float32)
+    ad = rng.standard_normal((_B, n)).astype(np.float32)
+    got = np.asarray(
+        S.sym_solve_chain(_compact(spd), jnp.asarray(v), k,
+                          add=jnp.asarray(ad), backend="pallas"),
+        np.float64)
+    xo = v.astype(np.float64)
+    a64 = spd.astype(np.float64)
+    for _ in range(k):
+        xo = np.linalg.solve(a64, xo[..., None])[..., 0] + ad
+    nw = np.linalg.norm(got - xo, axis=-1) / np.linalg.norm(xo, axis=-1)
+    assert nw.max() < 1e-5
+
+
 def test_smoke_sym_invert_pallas(rng):
     spd = _spd(rng, _B, 6)
     got = np.asarray(S.sym_invert(_compact(spd), backend="pallas"))
