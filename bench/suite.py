@@ -291,8 +291,11 @@ def main():
             v_ = rng.standard_normal((BIG, n_)).astype(np.float32)
             cj = jax.device_put(jnp.asarray(c_))
             vj = jax.device_put(jnp.asarray(v_))
+            # full 32-call pipelining (the documented methodology):
+            # at 8 calls the pipeline fill/drain of the ~ms relay
+            # dispatch understated the 4x4 fused row ~2x vs bench.py
             f = jax.jit(lambda m, v, k=kk: F.sym_solve_chain(m, v, k, add=v))
-            dt = honest_time(f, cj, vj, calls=8)
+            dt = honest_time(f, cj, vj, calls=32 if n_ <= 8 else 8)
             # oracle: the same kk-step recurrence in f64
             xo = v_[:2048].astype(np.float64)
             a64 = a_[:2048].astype(np.float64)
@@ -571,13 +574,15 @@ def main():
                            np.linalg.inv(a3[:4096].astype(np.float64)))
         record("batchinv 3x3 (bf16 in, f32 compute)", BIG, "bf16", BIG, dt,
                med, p99, "inv/s", bytes_per_item=2 * 9 * 2)
-        a4h = jax.device_put(jnp.asarray(spd[:MID]).astype(jnp.bfloat16))
+        # full BIG batch: at 200k this row was dispatch-bound and swung
+        # 3-4x run-to-run (the relay's ~1 ms dispatch vs ~1 ms compute)
+        a4h = jax.device_put(jnp.asarray(spd).astype(jnp.bfloat16))
         f = jax.jit(lambda x: Q.eig_sym(x, check_finite=False))
         dt = honest_time(f, a4h, calls=8)
         wh = np.sort(np.asarray(f(a4h[:4096]).astype(jnp.float32)), -1)
         ww4 = np.sort(np.linalg.eigvalsh(spd[:4096].astype(np.float64)), -1)
         med, p99 = rel_err(wh, ww4)
-        record("eig_sym 4x4 (bf16 in, f32 compute)", MID, "bf16", MID, dt,
+        record("eig_sym 4x4 (bf16 in, f32 compute)", BIG, "bf16", BIG, dt,
                med, p99, "eig/s", bytes_per_item=(16 + 4) * 2)
         del spd, compact, vec, mh, vh, a3, a3h, a4h
 
