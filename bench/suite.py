@@ -43,7 +43,8 @@ import jax.numpy as jnp
 
 RESULTS = []
 CEILING = [0.0]      # measured stream bytes/s, filled by main()
-MXU_CEILING = [0.0]  # measured f32 matmul flop/s, filled by main()
+MXU_CEILING = [0.0]  # measured default-precision matmul flop/s (bf16-class)
+MXU_CEILING_HI = [0.0]  # measured precision="highest" (full-f32) matmul flop/s
 
 
 def honest_time(fn, *args, calls=32):
@@ -99,13 +100,17 @@ def normwise(got, want):
 
 
 def record(name, batch, dtype, items_per_call, dt, med, p99, unit="items/s",
-           bytes_per_item=None, flops_per_item=None, nw_max=None):
+           bytes_per_item=None, flops_per_item=None, nw_max=None,
+           mxu_hi=False):
+    """``mxu_hi``: judge the FLOP column against the precision="highest"
+    matmul ceiling (the roofline an f32-contract MXU op can actually
+    reach) instead of the default-precision (bf16-class) one."""
     thr = items_per_call / dt
     gbps = thr * bytes_per_item / 1e9 if bytes_per_item else None
     util = gbps * 1e9 / CEILING[0] if (gbps and CEILING[0]) else None
     tflops = thr * flops_per_item / 1e12 if flops_per_item else None
-    mxu = (tflops * 1e12 / MXU_CEILING[0]
-           if (tflops and MXU_CEILING[0]) else None)
+    mceil = MXU_CEILING_HI[0] if mxu_hi else MXU_CEILING[0]
+    mxu = tflops * 1e12 / mceil if (tflops and mceil) else None
     RESULTS.append(
         dict(op=name, batch=batch, dtype=dtype, throughput=thr, unit=unit,
              relerr_median=med, relerr_p99=p99, normwise_max=nw_max,
@@ -137,14 +142,23 @@ def measure_stream_ceiling():
 
 
 def measure_mxu_ceiling():
-    """f32 matmul roofline measured the same way (4096^3 GEMM chained
-    so dispatch cost amortizes) — the ceiling compute-bound MXU rows
-    (dct basis matmuls) are judged against."""
+    """Matmul rooflines measured the same way (4096^3 GEMM chained so
+    dispatch cost amortizes), at BOTH precisions: the default
+    (bf16-input passes) ceiling, and the precision="highest" (full-f32
+    passes, ~4x slower) ceiling that f32-contract ops like the dct
+    basis matmul are actually bounded by — judging an f32 row by the
+    bf16-class number misreads speed-of-light as ~25% idle (round-2
+    VERDICT weak-item 3, extended)."""
     n = 4096
     a = jnp.ones((n, n), jnp.float32) * 1e-3
     dt = chained_time(lambda x, b: x @ b * 1e-3, a, a, k=16, calls=8)
     MXU_CEILING[0] = 2 * n**3 / dt
-    print(f"[mxu f32 ceiling] {MXU_CEILING[0] / 1e12:.1f} TFLOP/s",
+    dth = chained_time(
+        lambda x, b: jnp.matmul(x, b, precision="highest") * 1e-3,
+        a, a, k=16, calls=8)
+    MXU_CEILING_HI[0] = 2 * n**3 / dth
+    print(f"[mxu ceiling] default {MXU_CEILING[0] / 1e12:.1f} TFLOP/s, "
+          f"highest {MXU_CEILING_HI[0] / 1e12:.1f} TFLOP/s",
           file=sys.stderr, flush=True)
     del a
 
@@ -160,7 +174,7 @@ def main():
     ap.add_argument("--small", action="store_true", help="reduced batch sizes")
     ap.add_argument("--section", default="all",
                     help="comma-set of {sym,chain,batched,gate16,eig,dct,"
-                         "lie,reduce,solve8,bf16}")
+                         "lie,reduce,solve8,bf16,maxeig}")
     args = ap.parse_args()
     sections = set(args.section.split(","))
 
@@ -308,7 +322,25 @@ def main():
                    BIG, "f32", kk * BIG, dt, med, p99, "solves/s",
                    bytes_per_item=(n_ * (n_ + 1) // 2 + 2 * n_) * 4 / kk,
                    nw_max=normwise(got, xo))
-            del a_, c_, v_, cj, vj
+            # fused matvec chain (Richardson/Neumann) on the same
+            # shapes: contraction-scaled A so the recurrence converges
+            sc = np.float32(1.0 / (6 * n_))
+            cjs = cj * sc
+            fmv = jax.jit(
+                lambda m, v, k=kk: F.sym_matvec_chain(m, v, k, add=v))
+            dtm = honest_time(fmv, cjs, vj, calls=32 if n_ <= 8 else 8)
+            xm = v_[:2048].astype(np.float64)
+            a64s = a64 * float(sc)
+            for _ in range(kk):
+                xm = (np.einsum("bij,bj->bi", a64s, xm)
+                      + v_[:2048].astype(np.float64))
+            gotm = np.asarray(fmv(cjs[:2048], vj[:2048]), np.float64)
+            medm, p99m = rel_err(gotm, xm)
+            record(f"sym_matvec {n_}x{n_} fused chain (k={kk}, pallas)",
+                   BIG, "f32", kk * BIG, dtm, medm, p99m, "mv/s",
+                   bytes_per_item=(n_ * (n_ + 1) // 2 + 2 * n_) * 4 / kk,
+                   nw_max=normwise(gotm, xm))
+            del a_, c_, v_, cj, cjs, vj
 
     # --- batched inv/det/chol 3x3 & 8x8 (public, auto-routed) -------------
     if on("batched"):
@@ -456,6 +488,40 @@ def main():
             del acf
         del a, aj
 
+    # --- fused power iteration (dominant eigenpair) -------------------------
+    if on("maxeig"):
+        ITERS = 32
+        for n_me in (4, 8):
+            # gap-boosted inputs (dominant rank-1): power iteration
+            # converges O((l2/l1)^k), so a gapless Wishart batch would
+            # report convergence error, not kernel error
+            spd_me = spd_batch(rng, BIG, n_me)
+            u_me = rng.standard_normal((BIG, n_me)).astype(np.float32)
+            u_me /= np.linalg.norm(u_me, axis=-1, keepdims=True)
+            spd_me += 8.0 * n_me * np.einsum(
+                "bi,bj->bij", u_me, u_me).astype(np.float32)
+            del u_me
+            cme = np.asarray(full_to_sym(jnp.asarray(spd_me)))
+            mj = jax.device_put(jnp.asarray(cme))
+            w = np.linalg.eigvalsh(spd_me[:8192].astype(np.float64))
+            dom = w[np.arange(8192), np.argmax(np.abs(w), axis=-1)]
+            f = jax.jit(lambda m: F.sym_maxeig(m, iters=ITERS))
+            dt = honest_time(f, mj)
+            got = np.asarray(f(mj[:8192]), np.float64)
+            med, p99 = rel_err(got, dom)
+            nn_me = n_me * (n_me + 1) // 2
+            record(f"sym_maxeig {n_me}x{n_me} (fused, iters={ITERS})", BIG,
+                   "f32", BIG, dt, med, p99, "eig/s",
+                   bytes_per_item=(nn_me + n_me + 1) * 4)
+            # the same recurrence as a lax.scan of XLA matvecs
+            fx = jax.jit(lambda m: F.sym_maxeig(m, iters=ITERS,
+                                                backend="xla"))
+            dtx = honest_time(fx, mj)
+            record(f"sym_maxeig {n_me}x{n_me} (XLA scan)", BIG, "f32", BIG,
+                   dtx, med, p99, "eig/s",
+                   bytes_per_item=(nn_me + n_me + 1) * 4)
+            del mj, spd_me
+
     # --- dct (matmul path) --------------------------------------------------
     if on("dct"):
         x = rng.standard_normal((BIG, 64)).astype(np.float32)
@@ -466,12 +532,12 @@ def main():
                            sfft.dct(x[:4096].astype(np.float64), norm="ortho"))
         record("dct-II n=64 ortho (MXU)", BIG, "f32", BIG, dt, med, p99,
                "rows/s", bytes_per_item=2 * 64 * 4,
-               flops_per_item=2 * 64 * 64)
+               flops_per_item=2 * 64 * 64, mxu_hi=True)
         dt = chained_time(lambda t: RT.dct(t, norm="ortho"), xj, k=32,
                           calls=8)
         record("dct-II n=64 sustained (chain k=32)", BIG, "f32", BIG, dt,
                med, p99, "rows/s", bytes_per_item=2 * 64 * 4,
-               flops_per_item=2 * 64 * 64)
+               flops_per_item=2 * 64 * 64, mxu_hi=True)
         del xj, x  # free before staging the big-n operand
         nfft = 65536
         x2 = rng.standard_normal((nfft, 2048)).astype(np.float32)
@@ -483,6 +549,15 @@ def main():
                                       norm="ortho"))
         record("dct-II n=2048 ortho (MXU)", nfft, "f32", nfft, dt2, med2,
                p992, "rows/s", bytes_per_item=2 * 2048 * 4,
+               flops_per_item=2 * 2048 * 2048, mxu_hi=True)
+        # precision="high" (bf16x3) opt-down: ~1.9x at ~1e-5 normwise
+        f2h = jax.jit(lambda t: RT.dct(t, norm="ortho", precision="high"))
+        dt2h = honest_time(f2h, x2j)
+        med2h, p992h = rel_err(np.asarray(f2h(x2j[:1024])),
+                               sfft.dct(x2[:1024].astype(np.float64),
+                                        norm="ortho"))
+        record("dct-II n=2048 precision=high", nfft, "f32", nfft, dt2h,
+               med2h, p992h, "rows/s", bytes_per_item=2 * 2048 * 4,
                flops_per_item=2 * 2048 * 2048)
         del x2j, x2
 
@@ -609,15 +684,22 @@ def main():
         "",
         f"Ceilings measured this session: stream "
         f"**{CEILING[0] / 1e9:.1f} GB/s** (jitted elementwise x*a+b over"
-        f" 1 GB, read+write), MXU f32 **{MXU_CEILING[0] / 1e12:.1f}"
-        " TFLOP/s** (chained 4096^3 GEMM). `bytes/item` is the op's",
+        f" 1 GB, read+write); MXU chained 4096^3 GEMM at default "
+        f"precision **{MXU_CEILING[0] / 1e12:.1f} TFLOP/s** (bf16-input"
+        f" passes) and at precision=\"highest\" (full-f32 passes) "
+        f"**{MXU_CEILING_HI[0] / 1e12:.1f} TFLOP/s**. `bytes/item` is"
+        " the op's",
         "minimal HBM traffic; `util` is achieved bandwidth over the",
         "stream ceiling. Compute-bound rows (dct basis matmuls) report",
-        "TFLOP/s against the MXU ceiling instead — at n=2048 the",
-        "transform is FLOP-limited, and `util%` would misread as idle",
-        "(round-2 VERDICT weak-item 3). eig/expm/logm are VPU-compute-",
-        "bound register kernels: their byte-util is expected to sit far",
-        "below the stream ceiling at speed-of-light.",
+        "TFLOP/s with `MXU` judged against the ceiling of the precision",
+        "mode the op actually runs (the f32-contract dct rows use",
+        "precision=\"highest\", whose roofline is ~4x below the",
+        "bf16-class number — judging them by the default-precision",
+        "ceiling misreads speed-of-light as ~25% idle; round-2 VERDICT",
+        "weak-item 3, corrected further this round). eig/expm/logm are",
+        "VPU-compute-bound register kernels: their byte-util is",
+        "expected to sit far below the stream ceiling at",
+        "speed-of-light.",
         "",
         "| op | batch | dtype | throughput | unit | rel-err med | p99 |"
         " nw max | bytes/item | GB/s | util | TFLOP/s | MXU |",

@@ -2,6 +2,8 @@
 from .sym_pallas import (
     sym_solve_cf,
     sym_solve_chain_cf,
+    sym_matvec_chain_cf,
+    sym_maxeig_cf,
     sym_matvec_cf,
     sym_invert_cf,
     sym_addmatvec_cf,
@@ -20,6 +22,8 @@ from .logm_pallas import logm_cf
 __all__ = [
     "sym_solve_cf",
     "sym_solve_chain_cf",
+    "sym_matvec_chain_cf",
+    "sym_maxeig_cf",
     "sym_matvec_cf",
     "sym_invert_cf",
     "sym_addmatvec_cf",

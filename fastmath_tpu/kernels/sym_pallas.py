@@ -38,6 +38,8 @@ from ..ops.sym import _adjugate_apply, _det_expand
 __all__ = [
     "sym_solve_cf",
     "sym_solve_chain_cf",
+    "sym_matvec_chain_cf",
+    "sym_maxeig_cf",
     "sym_matvec_cf",
     "sym_invert_cf",
     "sym_addmatvec_cf",
@@ -840,6 +842,290 @@ def sym_solve_chain_cf(
         add.reshape(n, -1), _prep_eps(eps, n, dtype), int(iters), block,
         bool(interpret), bool(bm))
     return _downcast(out.reshape(n, *batch_shape), half)
+
+
+# --- fused-iteration chain matvec (Richardson / Neumann) -------------------
+
+
+def _matvec_chain_kernel(n, iters, mat_ref, vec_ref, add_ref, out_ref):
+    """``x <- A x + c`` iterated ``iters`` times inside one grid step —
+    the matvec analog of :func:`_solve_chain_kernel` (Richardson
+    iteration; with ``spectral radius < 1`` it sums the Neumann series
+    for ``(I - A) \\ c``). Pure unrolled FMA per iteration (n^2 + n
+    flops), no division — the cheapest chain body, so it exposes the
+    per-iteration VPU ceiling."""
+    E = _entries_rows(mat_ref, n)
+    x0 = tuple(vec_ref[j] for j in range(n))
+    c = [add_ref[j] for j in range(n)]
+    if n <= 8:
+        def body(t, xs):
+            ys = []
+            for i in range(n):
+                acc = E[i][0] * xs[0]
+                for j in range(1, n):
+                    acc = acc + E[i][j] * xs[j]
+                ys.append(acc + c[i])
+            return tuple(ys)
+
+        xs = jax.lax.fori_loop(0, iters, body, x0)
+        for i in range(n):
+            out_ref[i] = xs[i]
+        return
+    lane = E[0][0].shape
+    A = jnp.stack([E[i][j] for i in range(n) for j in range(n)],
+                  axis=0).reshape((n, n) + lane)
+    x_st = jnp.stack(list(x0), axis=0)
+    c_st = jnp.stack(c, axis=0)
+
+    def body_st(t, xs):
+        return jnp.sum(A * xs[None, :], axis=1) + c_st
+
+    xs_st = jax.lax.fori_loop(0, iters, body_st, x_st)
+    for i in range(n):
+        out_ref[i] = xs_st[i]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _matvec_chain_cf(mat, vec, add, iters, block, interpret, bm):
+    n = vec.shape[0]
+    kern = functools.partial(_matvec_chain_kernel, n, iters)
+    return _call_rows(kern, (mat, vec, add), n, block, interpret,
+                      diag_rows=0, bm=bm)
+
+
+def _matvec_chain_fwd(mat, vec, add, iters, block, interpret, bm):
+    out = _matvec_chain_cf(mat, vec, add, iters, block, interpret, bm)
+    return out, (mat, vec, add)
+
+
+def _matvec_chain_bwd(iters, block, interpret, bm, res, g):
+    mat, vec, add = res
+
+    def replay(m, v, a):
+        def body(x, _):
+            return _matvec_cf(m, x, block, interpret, bm) + a, ()
+
+        return jax.lax.scan(body, v, None, length=iters)[0]
+
+    _, pull = jax.vjp(replay, mat, vec, add)
+    return pull(g)
+
+
+_matvec_chain_cf.defvjp(_matvec_chain_fwd, _matvec_chain_bwd)
+
+
+def sym_matvec_chain_cf(
+    mat: jnp.ndarray,
+    vec: jnp.ndarray,
+    iters: int = 1,
+    add: Optional[jnp.ndarray] = None,
+    block: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    bm: bool = False,
+) -> jnp.ndarray:
+    r"""Channel-first fused iterated matvec: ``x_0 = vec``,
+    ``x_{t+1} = A x_t + add``, returning ``x_iters``.
+
+    The matvec analog of :func:`sym_solve_chain_cf` (Richardson /
+    Neumann-series iteration). Extension op — the reference has no
+    fused iteration. Note the recurrence diverges when the spectral
+    radius of ``A`` exceeds 1 (user-scaled, exactly as in classical
+    Richardson)."""
+    mat, vec, half = upcast_half(mat, vec)
+    n = vec.shape[0]
+    if mat.shape[0] != compact_size(n):
+        raise ValueError(
+            f"channel-first sym_matvec_chain expects mat "
+            f"({compact_size(n)}, ...) for vec ({n}, ...); got "
+            f"{mat.shape[0]}"
+        )
+    if n > MAX_N_ROLLED:
+        raise ValueError(
+            f"pallas sym_matvec_chain_cf implements N <= {MAX_N_ROLLED}")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if block is None:
+        block = 8192 if n <= 4 else (4096 if n <= 8 else 1024)
+    if interpret is None:
+        interpret = _interpret_default()
+    dtype = jnp.result_type(mat, vec) if add is None else jnp.result_type(
+        mat, vec, add)
+    if add is None:
+        add = jnp.zeros((n,) + (1,) * (vec.ndim - 1), dtype)
+    batch_shape = np.broadcast_shapes(mat.shape[1:], vec.shape[1:],
+                                      add.shape[1:])
+    mat = jnp.broadcast_to(mat.astype(dtype), (mat.shape[0], *batch_shape))
+    vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
+    add = jnp.broadcast_to(add.astype(dtype), (n, *batch_shape))
+    out = _matvec_chain_cf(
+        mat.reshape(mat.shape[0], -1), vec.reshape(n, -1),
+        add.reshape(n, -1), int(iters), block, bool(interpret), bool(bm))
+    return _downcast(out.reshape(n, *batch_shape), half)
+
+
+# --- fused power iteration (dominant eigenpair) ----------------------------
+
+
+def _guarded_rsqrt(nrm2):
+    """1/sqrt(x) with 0 -> 0 (padded/zero lanes stay finite)."""
+    return jnp.where(nrm2 > 0, jax.lax.rsqrt(jnp.where(nrm2 > 0, nrm2, 1.0)),
+                     jnp.zeros_like(nrm2))
+
+
+def _maxeig_kernel(n, iters, mat_ref, vec_ref, out_ref):
+    """Fused batched power iteration: ``v <- A v / ||A v||`` iterated
+    ``iters`` times with the compact matrix rows register-resident, then
+    one final Rayleigh quotient ``mu = v^T A v``. Output rows: ``mu``
+    then the ``n`` unit-eigenvector rows. Per iteration the kernel does
+    one closed-form compact matvec (n^2 FMA) + one 2n-flop
+    normalization — all VPU lane work; HBM traffic per iteration is
+    ~(NN + 2n) * 4 / iters bytes, the power-iteration analog of
+    :func:`_solve_chain_kernel`."""
+    E = _entries_rows(mat_ref, n)
+    if n <= 8:
+        def mv(vs):
+            out = []
+            for i in range(n):
+                acc = E[i][0] * vs[0]
+                for j in range(1, n):
+                    acc = acc + E[i][j] * vs[j]
+                out.append(acc)
+            return out
+
+        v = [vec_ref[j] for j in range(n)]
+        nrm2 = v[0] * v[0]
+        for i in range(1, n):
+            nrm2 = nrm2 + v[i] * v[i]
+        inv = _guarded_rsqrt(nrm2)
+        v0 = tuple(vi * inv for vi in v)
+
+        def body(t, vs):
+            w = mv(list(vs))
+            w2 = w[0] * w[0]
+            for i in range(1, n):
+                w2 = w2 + w[i] * w[i]
+            s = _guarded_rsqrt(w2)
+            return tuple(wi * s for wi in w)
+
+        vs = jax.lax.fori_loop(0, iters, body, v0)
+        w = mv(list(vs))
+        mu = vs[0] * w[0]
+        for i in range(1, n):
+            mu = mu + vs[i] * w[i]
+        out_ref[0] = mu
+        for i in range(n):
+            out_ref[1 + i] = vs[i]
+        return
+    # rolled tier (9 <= n <= 16): stacked (n, *lane) carry, masked matvec
+    lane = E[0][0].shape
+    A = jnp.stack([E[i][j] for i in range(n) for j in range(n)],
+                  axis=0).reshape((n, n) + lane)
+    v = jnp.stack([vec_ref[j] for j in range(n)], axis=0)
+    v = v * _guarded_rsqrt(jnp.sum(v * v, axis=0))[None]
+
+    def body_st(t, vs):
+        w = jnp.sum(A * vs[None, :], axis=1)
+        return w * _guarded_rsqrt(jnp.sum(w * w, axis=0))[None]
+
+    vs = jax.lax.fori_loop(0, iters, body_st, v)
+    w = jnp.sum(A * vs[None, :], axis=1)
+    out_ref[0] = jnp.sum(vs * w, axis=0)
+    for i in range(n):
+        out_ref[1 + i] = vs[i]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _maxeig_cf(mat, vec, iters, block, interpret, bm):
+    n = vec.shape[0]
+    kern = functools.partial(_maxeig_kernel, n, iters)
+    return _call_rows(kern, (mat, vec), n + 1, block, interpret,
+                      diag_rows=n, bm=bm)
+
+
+def _maxeig_replay(mat, vec, iters):
+    """The kernel recurrence as differentiable channel-first XLA ops
+    (VJP replay; also the reference implementation the tests oracle)."""
+    n = vec.shape[0]
+
+    def mv(v):
+        rows = []
+        for i in range(n):
+            acc = mat[i] * v[i]
+            for j in range(n):
+                if j != i:
+                    acc = acc + mat[tri_index(i, j, n)] * v[j]
+            rows.append(acc)
+        return jnp.stack(rows, axis=0)
+
+    v = vec * _guarded_rsqrt(jnp.sum(vec * vec, axis=0))[None]
+
+    def body(v, _):
+        w = mv(v)
+        return w * _guarded_rsqrt(jnp.sum(w * w, axis=0))[None], ()
+
+    v, _ = jax.lax.scan(body, v, None, length=iters)
+    w = mv(v)
+    mu = jnp.sum(v * w, axis=0)
+    return jnp.concatenate([mu[None], v], axis=0)
+
+
+def _maxeig_fwd(mat, vec, iters, block, interpret, bm):
+    return _maxeig_cf(mat, vec, iters, block, interpret, bm), (mat, vec)
+
+
+def _maxeig_bwd(iters, block, interpret, bm, res, g):
+    mat, vec = res
+    _, pull = jax.vjp(lambda m, v: _maxeig_replay(m, v, iters), mat, vec)
+    return pull(g)
+
+
+_maxeig_cf.defvjp(_maxeig_fwd, _maxeig_bwd)
+
+
+def sym_maxeig_cf(
+    mat: jnp.ndarray,
+    vec: jnp.ndarray,
+    iters: int = 32,
+    block: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    bm: bool = False,
+) -> jnp.ndarray:
+    r"""Channel-first fused batched power iteration: returns
+    ``(1 + N, ...)`` — row 0 the Rayleigh-quotient estimate of the
+    dominant (largest-``|λ|``) eigenvalue, rows 1.. the unit
+    eigenvector estimate.
+
+    One kernel launch runs all ``iters`` matvec+normalize steps with
+    the compact matrix block register-resident (the power-iteration
+    analog of :func:`sym_solve_chain_cf`). Extension op: the
+    reference's ``maxeig_power`` (reference ``stochastic.py:316-361``)
+    is a single-matrix while_loop re-launching one matvec per step.
+    Convergence is ``O((λ2/λ1)^iters)`` — ``iters`` is a static knob,
+    not a tolerance.
+    """
+    mat, vec, half = upcast_half(mat, vec)
+    n = vec.shape[0]
+    if mat.shape[0] != compact_size(n):
+        raise ValueError(
+            f"channel-first sym_maxeig expects mat ({compact_size(n)}, ...) "
+            f"for vec ({n}, ...); got {mat.shape[0]}"
+        )
+    if n > MAX_N_ROLLED:
+        raise ValueError(
+            f"pallas sym_maxeig_cf implements N <= {MAX_N_ROLLED}")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if block is None:
+        block = 8192 if n <= 4 else (4096 if n <= 8 else 1024)
+    if interpret is None:
+        interpret = _interpret_default()
+    dtype = jnp.result_type(mat, vec)
+    batch_shape = np.broadcast_shapes(mat.shape[1:], vec.shape[1:])
+    mat = jnp.broadcast_to(mat.astype(dtype), (mat.shape[0], *batch_shape))
+    vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
+    out = _maxeig_cf(mat.reshape(mat.shape[0], -1), vec.reshape(n, -1),
+                     int(iters), block, bool(interpret), bool(bm))
+    return _downcast(out.reshape(1 + n, *batch_shape), half)
 
 
 # --- matvec ----------------------------------------------------------------

@@ -28,6 +28,9 @@ __all__ = [
     "sym_submatvec_np",
     "sym_solve_np",
     "sym_invert_np",
+    "sym_matvec_chain_np",
+    "sym_solve_chain_np",
+    "sym_maxeig_np",
 ]
 
 _HERE = Path(__file__).parent
@@ -85,6 +88,12 @@ def _load() -> Optional[ctypes.CDLL]:
                                                             i32]
         getattr(lib, f"sym_solve_{suffix}").argtypes = [p, p, p, i64, i32]
         getattr(lib, f"sym_invert_{suffix}").argtypes = [p, p, i64, i32]
+        getattr(lib, f"sym_matvec_chain_{suffix}").argtypes = [p, p, p, p,
+                                                               i64, i32, i32]
+        getattr(lib, f"sym_solve_chain_{suffix}").argtypes = [p, p, p, p,
+                                                              i64, i32, i32]
+        getattr(lib, f"sym_maxeig_{suffix}").argtypes = [p, p, p, p, i64,
+                                                         i32, i32]
     lib.fastmath_num_threads.restype = i32
     lib.fastmath_set_num_threads.argtypes = [i32]
     _lib = lib
@@ -204,3 +213,70 @@ def sym_invert_np(mat: np.ndarray) -> np.ndarray:
     getattr(lib, f"sym_invert_{suffix}")(
         mat.reshape(batch, -1), out.reshape(batch, -1), batch, n)
     return out
+
+
+def _chain_np(mat, vec, add, iters, name):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    mat, vec, suffix = _prep(mat, vec)
+    n = vec.shape[-1]
+    if n > 64:
+        raise ValueError(f"native {name} supports n <= 64")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    add = (np.zeros_like(vec) if add is None
+           else np.ascontiguousarray(np.broadcast_to(add, vec.shape),
+                                     dtype=mat.dtype))
+    batch = int(np.prod(mat.shape[:-1], dtype=np.int64))
+    out = np.empty_like(vec)
+    getattr(lib, f"{name}_{suffix}")(
+        mat.reshape(batch, -1), vec.reshape(batch, n),
+        add.reshape(batch, n), out.reshape(batch, n), batch, n, int(iters))
+    return out
+
+
+def sym_matvec_chain_np(mat: np.ndarray, vec: np.ndarray, iters: int = 1,
+                        add=None) -> np.ndarray:
+    """Fused iterated matvec ``x <- A x + add`` on numpy arrays — the
+    CPU analog of the Pallas ``sym_matvec_chain`` kernel (matrix loaded
+    once per element, iterations in registers/L1)."""
+    return _chain_np(mat, vec, add, iters, "sym_matvec_chain")
+
+
+def sym_solve_chain_np(mat: np.ndarray, vec: np.ndarray, iters: int = 1,
+                       add=None) -> np.ndarray:
+    """Fused iterated solve ``x <- A \\ x + add`` on numpy arrays
+    (adjugate precomputed once for n <= 4, LDL^T factored once beyond —
+    factor once, substitute many)."""
+    return _chain_np(mat, vec, add, iters, "sym_solve_chain")
+
+
+def sym_maxeig_np(mat: np.ndarray, iters: int = 32, v0=None,
+                  return_vector: bool = False):
+    """Batched power iteration on numpy arrays — the CPU analog of the
+    Pallas ``sym_maxeig`` kernel. Returns the Rayleigh-quotient
+    dominant-eigenvalue estimate (and the unit eigenvector when
+    ``return_vector``)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    mat, _, suffix = _prep(mat)
+    n = _sym_dim(mat.shape[-1])
+    if n > 64:
+        raise ValueError("native sym_maxeig supports n <= 64")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    batch_shape = mat.shape[:-1]
+    if v0 is None:
+        rs = np.random.RandomState(0)
+        v0 = rs.standard_normal(n).astype(mat.dtype)
+    v0 = np.ascontiguousarray(
+        np.broadcast_to(v0, batch_shape + (n,)), dtype=mat.dtype)
+    batch = int(np.prod(batch_shape, dtype=np.int64))
+    mu = np.empty(batch_shape, dtype=mat.dtype)
+    v = np.empty_like(v0)
+    getattr(lib, f"sym_maxeig_{suffix}")(
+        mat.reshape(batch, -1), v0.reshape(batch, n), mu.reshape(batch),
+        v.reshape(batch, n), batch, n, int(iters))
+    return (mu, v) if return_vector else mu

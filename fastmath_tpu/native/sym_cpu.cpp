@@ -220,9 +220,133 @@ void sym_invert_impl(const T* mat, T* out, int64_t b, int n) {
     }
 }
 
+// --- fused-iteration chains --------------------------------------------
+// CPU analogs of the Pallas chain kernels (kernels/sym_pallas.py):
+// load/factor the matrix ONCE per batch element, iterate entirely in
+// registers/L1 — the same factor-once/iterate-many structure that makes
+// the TPU chain kernels VPU-bound instead of HBM-bound.
+
+// x <- A x + c iterated `iters` times (Richardson / Neumann)
+template <typename T>
+void sym_matvec_chain_impl(const T* mat, const T* vec, const T* add, T* out,
+                           int64_t b, int n, int iters) {
+    const int nn = n * (n + 1) / 2;
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < b; ++e) {
+        const T* m = mat + e * nn;
+        const T* c = add + e * n;
+        T x[64], y[64];
+        std::memcpy(x, vec + e * n, n * sizeof(T));
+        for (int t = 0; t < iters; ++t) {
+            for (int i = 0; i < n; ++i) {
+                T acc = m[i] * x[i];
+                for (int j = 0; j < n; ++j)
+                    if (j != i) acc += m[tri_index(i, j, n)] * x[j];
+                y[i] = acc + c[i];
+            }
+            std::memcpy(x, y, n * sizeof(T));
+        }
+        std::memcpy(out + e * n, x, n * sizeof(T));
+    }
+}
+
+// x <- A \ x + c iterated `iters` times: adjugate precomputed once for
+// n <= 4, LDL^T factored once beyond (factor once, substitute many)
+template <typename T>
+void sym_solve_chain_impl(const T* mat, const T* vec, const T* add, T* out,
+                          int64_t b, int n, int iters) {
+    const int nn = n * (n + 1) / 2;
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < b; ++e) {
+        const T* m = mat + e * nn;
+        const T* c = add + e * n;
+        T x[64], y[64];
+        std::memcpy(x, vec + e * n, n * sizeof(T));
+        if (n <= 4) {
+            T a[16], adj[16];
+            full_from_compact(m, a, n);
+            T inv_det = T(1) / det_n(a, n);
+            for (int i = 0; i < n; ++i)
+                for (int j = 0; j < n; ++j)
+                    adj[i * n + j] = cofactor(a, j, i, n);
+            for (int t = 0; t < iters; ++t) {
+                for (int i = 0; i < n; ++i) {
+                    T acc = 0;
+                    for (int j = 0; j < n; ++j) acc += adj[i * n + j] * x[j];
+                    y[i] = acc * inv_det + c[i];
+                }
+                std::memcpy(x, y, n * sizeof(T));
+            }
+        } else {
+            T dense[64 * 64];
+            full_from_compact(m, dense, n);
+            ldl_factor(dense, n);
+            for (int t = 0; t < iters; ++t) {
+                ldl_substitute(dense, x, n);
+                for (int i = 0; i < n; ++i) x[i] += c[i];
+            }
+        }
+        std::memcpy(out + e * n, x, n * sizeof(T));
+    }
+}
+
+// power iteration: v <- A v / ||A v|| `iters` times, then the Rayleigh
+// quotient; writes mu (1 per element) and the unit eigenvector
+template <typename T>
+void sym_maxeig_impl(const T* mat, const T* vec, T* mu_out, T* v_out,
+                     int64_t b, int n, int iters) {
+    const int nn = n * (n + 1) / 2;
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < b; ++e) {
+        const T* m = mat + e * nn;
+        T x[64], y[64];
+        std::memcpy(x, vec + e * n, n * sizeof(T));
+        T nrm2 = 0;
+        for (int i = 0; i < n; ++i) nrm2 += x[i] * x[i];
+        T inv = nrm2 > 0 ? T(1) / std::sqrt(nrm2) : T(0);
+        for (int i = 0; i < n; ++i) x[i] *= inv;
+        for (int t = 0; t <= iters; ++t) {
+            for (int i = 0; i < n; ++i) {
+                T acc = m[i] * x[i];
+                for (int j = 0; j < n; ++j)
+                    if (j != i) acc += m[tri_index(i, j, n)] * x[j];
+                y[i] = acc;
+            }
+            if (t == iters) break;  // final y = A v feeds the Rayleigh
+            nrm2 = 0;
+            for (int i = 0; i < n; ++i) nrm2 += y[i] * y[i];
+            inv = nrm2 > 0 ? T(1) / std::sqrt(nrm2) : T(0);
+            for (int i = 0; i < n; ++i) x[i] = y[i] * inv;
+        }
+        T mu = 0;
+        for (int i = 0; i < n; ++i) mu += x[i] * y[i];
+        mu_out[e] = mu;
+        std::memcpy(v_out + e * n, x, n * sizeof(T));
+    }
+}
+
 }  // namespace
 
 extern "C" {
+
+void sym_matvec_chain_f32(const float* m, const float* v, const float* a,
+                          float* o, int64_t b, int n, int k)
+{ sym_matvec_chain_impl(m, v, a, o, b, n, k); }
+void sym_matvec_chain_f64(const double* m, const double* v, const double* a,
+                          double* o, int64_t b, int n, int k)
+{ sym_matvec_chain_impl(m, v, a, o, b, n, k); }
+void sym_solve_chain_f32(const float* m, const float* v, const float* a,
+                         float* o, int64_t b, int n, int k)
+{ sym_solve_chain_impl(m, v, a, o, b, n, k); }
+void sym_solve_chain_f64(const double* m, const double* v, const double* a,
+                         double* o, int64_t b, int n, int k)
+{ sym_solve_chain_impl(m, v, a, o, b, n, k); }
+void sym_maxeig_f32(const float* m, const float* v, float* mu, float* vo,
+                    int64_t b, int n, int k)
+{ sym_maxeig_impl(m, v, mu, vo, b, n, k); }
+void sym_maxeig_f64(const double* m, const double* v, double* mu, double* vo,
+                    int64_t b, int n, int k)
+{ sym_maxeig_impl(m, v, mu, vo, b, n, k); }
 
 void sym_matvec_f32(const float* m, const float* v, float* o, int64_t b, int n)
 { sym_matvec_impl(m, v, o, b, n); }

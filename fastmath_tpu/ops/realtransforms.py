@@ -280,14 +280,20 @@ _FFT_BACK = {
 # ---------------------------------------------------------------------------
 
 
-def _transform_last(x, family: str, type: int, norm: str):
+def _transform_last(x, family: str, type: int, norm: str,
+                    precision=None):
     """Apply the normalized transform along the last axis."""
     n = x.shape[-1]
     if n <= MATMUL_MAX_N:
         m = jnp.asarray(_basis_matrix(family, type, n, norm), dtype=x.dtype)
-        # full-precision MXU passes: the TPU default (bf16 inputs) costs
-        # ~3 decimal digits on an fp32 transform
-        return jnp.einsum("kj,...j->...k", m, x, precision="highest")
+        # MXU pass precision (measured v5e, n=2048, vs f64 oracle):
+        # "highest" (f32 passes, the default) runs at that mode's
+        # matmul roofline (~30 TF/s) with normwise err ~2e-7;
+        # "high" (bf16x3) is 1.9x faster at ~1e-5; "default" (bf16
+        # inputs) 4.4x faster at ~2e-3 — the fp32 contract keeps
+        # "highest" unless the caller opts down
+        return jnp.einsum("kj,...j->...k", m, x,
+                          precision=precision or "highest")
     din, dout = _norm_scales(family, type, n, norm)
     if not np.isscalar(din) or din != 1.0:
         x = x * jnp.asarray(np.broadcast_to(din, (n,)), dtype=x.dtype)
@@ -297,19 +303,20 @@ def _transform_last(x, family: str, type: int, norm: str):
     return y
 
 
-def _transform(x, family: str, type: int, dim: int, norm: str):
+def _transform(x, family: str, type: int, dim: int, norm: str,
+               precision=None):
     if type not in _IMPLEMENTED_TYPES:
         raise ValueError(f"{family.upper()} only implemented for types I-IV")
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
-        re = _transform(x.real, family, type, dim, norm)
-        im = _transform(x.imag, family, type, dim, norm)
+        re = _transform(x.real, family, type, dim, norm, precision)
+        im = _transform(x.imag, family, type, dim, norm, precision)
         return re + 1j * im
     x = x.astype(promote_transform_dtype(x.dtype))
     dim = dim % x.ndim
     if dim != x.ndim - 1:
         x = jnp.moveaxis(x, dim, -1)
-    y = _transform_last(x, family, type, norm)
+    y = _transform_last(x, family, type, norm, precision)
     if dim != y.ndim - 1:
         y = jnp.moveaxis(y, -1, dim)
     return y
@@ -320,39 +327,51 @@ def _transform(x, family: str, type: int, dim: int, norm: str):
 # ---------------------------------------------------------------------------
 
 
-def dct(x, dim: int = -1, norm: str = "backward", type: int = 2):
+def dct(x, dim: int = -1, norm: str = "backward", type: int = 2,
+        precision=None):
     """Discrete Cosine Transform, types I-IV (reference
     ``_impl/realtransforms.py:11-45``; type 4 is an extension — the
-    reference raises on it)."""
+    reference raises on it).
+
+    ``precision`` (extension): MXU precision for the basis-matmul path
+    (``None``/"highest" = full fp32, "high" = bf16x3 ~1.9x faster at
+    ~1e-5 normwise error, "default" = bf16 ~4.4x at ~2e-3); the FFT
+    path (n > 4096) ignores it."""
     if dim is None:
         dim = -1
-    return _transform(x, "dct", type, dim, norm or "backward")
+    return _transform(x, "dct", type, dim, norm or "backward", precision)
 
 
-def idct(x, dim: int = -1, norm: str = "backward", type: int = 2):
+def idct(x, dim: int = -1, norm: str = "backward", type: int = 2,
+         precision=None):
     """Inverse DCT = flipped-type, flipped-norm DCT (reference
     ``_impl/realtransforms.py:48-81``)."""
     if dim is None:
         dim = -1
-    return dct(x, dim, flipnorm[norm or "backward"], fliptype[type])
+    return dct(x, dim, flipnorm[norm or "backward"], fliptype[type],
+               precision)
 
 
-def dst(x, dim: int = -1, norm: str = "backward", type: int = 2):
+def dst(x, dim: int = -1, norm: str = "backward", type: int = 2,
+        precision=None):
     """Discrete Sine Transform, types I-IV (type 4 is an extension —
     the reference raises on it). ``norm='ortho'`` is truly orthogonal;
     use ``norm='ortho_scipy'`` for legacy scipy/cupy behavior
-    (reference ``_impl/realtransforms.py:84-126``)."""
+    (reference ``_impl/realtransforms.py:84-126``). ``precision`` as in
+    :func:`dct`."""
     if dim is None:
         dim = -1
-    return _transform(x, "dst", type, dim, norm or "backward")
+    return _transform(x, "dst", type, dim, norm or "backward", precision)
 
 
-def idst(x, dim: int = -1, norm: str = "backward", type: int = 2):
+def idst(x, dim: int = -1, norm: str = "backward", type: int = 2,
+         precision=None):
     """Inverse DST = flipped-type, flipped-norm DST (reference
     ``_impl/realtransforms.py:127-167``)."""
     if dim is None:
         dim = -1
-    return dst(x, dim, flipnorm[norm or "backward"], fliptype[type])
+    return dst(x, dim, flipnorm[norm or "backward"], fliptype[type],
+               precision)
 
 
 def _norm_dims(x, dim):
@@ -361,30 +380,34 @@ def _norm_dims(x, dim):
     return tuple(d % jnp.asarray(x).ndim for d in ensure_tuple(dim))
 
 
-def dctn(x, dim=None, norm: str = "backward", type: int = 2):
+def dctn(x, dim=None, norm: str = "backward", type: int = 2,
+         precision=None):
     """N-D DCT: 1-D transforms applied over each requested dim
     (reference ``_impl/realtransforms.py:169-206``)."""
     for d in _norm_dims(x, dim):
-        x = dct(x, d, norm, type)
+        x = dct(x, d, norm, type, precision)
     return x
 
 
-def idctn(x, dim=None, norm: str = "backward", type: int = 2):
+def idctn(x, dim=None, norm: str = "backward", type: int = 2,
+         precision=None):
     """N-D inverse DCT (reference ``_impl/realtransforms.py:207-243``)."""
     for d in _norm_dims(x, dim):
-        x = idct(x, d, norm, type)
+        x = idct(x, d, norm, type, precision)
     return x
 
 
-def dstn(x, dim=None, norm: str = "backward", type: int = 2):
+def dstn(x, dim=None, norm: str = "backward", type: int = 2,
+         precision=None):
     """N-D DST (reference ``_impl/realtransforms.py:244-287``)."""
     for d in _norm_dims(x, dim):
-        x = dst(x, d, norm, type)
+        x = dst(x, d, norm, type, precision)
     return x
 
 
-def idstn(x, dim=None, norm: str = "backward", type: int = 2):
+def idstn(x, dim=None, norm: str = "backward", type: int = 2,
+         precision=None):
     """N-D inverse DST (reference ``_impl/realtransforms.py:288-328``)."""
     for d in _norm_dims(x, dim):
-        x = idst(x, d, norm, type)
+        x = idst(x, d, norm, type, precision)
     return x

@@ -60,6 +60,8 @@ __all__ = [
     "sym_solve",
     "sym_solve_",
     "sym_solve_chain",
+    "sym_matvec_chain",
+    "sym_maxeig",
     "sym_invert",
     "sym_invert_",
 ]
@@ -438,6 +440,169 @@ def sym_solve_chain(
     out = _jax.lax.scan(body, jnp.broadcast_to(vec, batch_shape + (n,)),
                         None, length=iters)[0]
     return _downcast(out, half)
+
+
+def sym_matvec_chain(
+    mat: jnp.ndarray,
+    vec: jnp.ndarray,
+    iters: int = 1,
+    add: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    r"""Iterated matvec: ``x_0 = vec``, ``x_{t+1} = A x_t`` (``+ add``
+    when given); returns ``x_iters``.
+
+    The matvec analog of :func:`sym_solve_chain` — classical
+    Richardson iteration, which with ``add`` given and spectral radius
+    of ``A`` below 1 sums the Neumann series for ``(I - A) \ add``.
+    Extension op (no reference analog; its closest workload is the
+    repeated matvec inside ``maxeig_power``, reference
+    ``stochastic.py:356-361``). The recurrence diverges for spectral
+    radius > 1 — scaling is the caller's contract, exactly as in
+    classical Richardson.
+
+    ``backend="auto"`` routes to the fused Pallas chain kernel on TPU
+    (matrix block register-resident across all iterations; pure FMA
+    per step — the cheapest chain body); ``"xla"`` runs the
+    ``lax.scan`` of :func:`sym_matvec`. Both differentiable.
+    """
+    import jax as _jax
+
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if iters == 0:
+        return vec
+    arrays = (mat, vec) if add is None else (mat, vec, add)
+    *arrays, half = upcast_half(*arrays)
+    mat, vec = arrays[0], arrays[1]
+    add_ = arrays[2] if add is not None else None
+    n = vec.shape[-1]
+    layout = classify_layout(mat.shape[-1], n)
+    batch = _nbatch(*arrays)
+    if iters > 1 and _use_pallas(
+        backend,
+        supported=_pallas_supported(layout, n, mat.dtype,
+                                    n_max=_PALLAS_ROLLED_MAX_N),
+        batch=batch,
+        dtype=mat.dtype,
+        small_n=False,
+        why_unsupported=(
+            f"pallas chain kernel serves compact-symmetric storage with "
+            f"N <= {_PALLAS_ROLLED_MAX_N} and real floating dtypes (got "
+            f"layout={layout.name}, N={n}, {jnp.dtype(mat.dtype).name})"
+        ),
+    ):
+        from ..kernels.sym_pallas import sym_matvec_chain_cf
+
+        if add_ is None:
+            out = _cf_call(sym_matvec_chain_cf, True, mat, vec, iters=iters)
+        else:
+            out = _cf_call(
+                lambda m, v, a, **kw: sym_matvec_chain_cf(m, v, add=a, **kw),
+                True, mat, vec, add_, iters=iters)
+        return _downcast(out, half)
+
+    step_backend = "auto" if backend == "pallas" else backend
+
+    def body(x, _):
+        y = sym_matvec(mat, x, backend=step_backend)
+        if add_ is not None:
+            y = y + add_
+        return y, ()
+
+    batch_shape = np.broadcast_shapes(*(a.shape[:-1] for a in arrays))
+    out = _jax.lax.scan(body, jnp.broadcast_to(vec, batch_shape + (n,)),
+                        None, length=iters)[0]
+    return _downcast(out, half)
+
+
+def sym_maxeig(
+    mat: jnp.ndarray,
+    iters: int = 32,
+    v0: Optional[jnp.ndarray] = None,
+    return_vector: bool = False,
+    backend: str = "auto",
+):
+    r"""Dominant (largest-``|λ|``) eigenvalue of every matrix in a batch
+    by fused power iteration; optionally also the unit eigenvector.
+
+    ``mat`` is compact-symmetric storage ``(..., N(N+1)/2)`` (diag
+    first — like :func:`sym_invert`, N is derived from the flat size);
+    returns the Rayleigh-quotient estimate ``mu`` of shape
+    ``(...)`` — and ``(mu, v)`` with ``v`` of shape ``(..., N)`` when
+    ``return_vector``. Batched compact-symmetric specialization of the
+    reference's single-matrix ``maxeig_power`` (reference
+    ``stochastic.py:316-361``, a while_loop re-launching one matvec per
+    step): here ``backend="auto"`` routes to a fused Pallas kernel on
+    TPU that runs all ``iters`` matvec+normalize steps with the matrix
+    block register-resident (the power-iteration analog of
+    :func:`sym_solve_chain`). Convergence is ``O((λ2/λ1)^iters)`` —
+    ``iters`` is a static knob (kernels need static trip counts; see
+    :func:`fastmath_tpu.ops.stochastic.maxeig_power` for the
+    tolerance-driven single-matrix form). Differentiable (VJP replays
+    the iteration); at convergence the eigenvalue gradient is the
+    classical ``v vᵀ`` pullback.
+
+    ``v0``: optional start vectors ``(..., N)``; the default is a fixed
+    dense pseudo-random direction (deterministic). A ``v0`` exactly
+    orthogonal to the dominant eigenvector converges to a subdominant
+    pair — supply a better ``v0`` (e.g. a previous solution) to warm
+    start.
+    """
+    import jax as _jax
+
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    mat, half = upcast_half(mat)
+    nn = mat.shape[-1]
+    n = sym_dim(nn)
+    layout = classify_layout(nn, n)
+    if v0 is None:
+        v0 = _jax.random.normal(_jax.random.key(0), (n,), mat.dtype)
+    else:
+        v0 = jnp.asarray(v0, mat.dtype)
+        if v0.shape[-1] != n:
+            raise ValueError(
+                f"v0 last dim must be N={n}; got {v0.shape[-1]}")
+    batch = _nbatch(mat)
+    if iters > 0 and _use_pallas(
+        backend,
+        supported=_pallas_supported(layout, n, mat.dtype,
+                                    n_max=_PALLAS_ROLLED_MAX_N),
+        batch=batch,
+        dtype=mat.dtype,
+        small_n=False,
+        why_unsupported=(
+            f"pallas maxeig kernel serves compact-symmetric storage with "
+            f"N <= {_PALLAS_ROLLED_MAX_N} and real floating dtypes (got "
+            f"layout={layout.name}, N={n}, {jnp.dtype(mat.dtype).name})"
+        ),
+    ):
+        from ..kernels.sym_pallas import sym_maxeig_cf
+
+        out = _cf_call(sym_maxeig_cf, True, mat, v0, iters=iters)
+        mu, v = out[..., 0], out[..., 1:]
+        mu, v = _downcast(mu, half), _downcast(v, half)
+        return (mu, v) if return_vector else mu
+
+    # XLA fallback: layout-general via sym_matvec (serves diagonal /
+    # scaled-identity / full storage and every N)
+    def _norm(v):
+        nrm2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        inv = jnp.where(nrm2 > 0,
+                        _jax.lax.rsqrt(jnp.where(nrm2 > 0, nrm2, 1.0)), 0.0)
+        return v * inv
+
+    batch_shape = np.broadcast_shapes(mat.shape[:-1], v0.shape[:-1])
+    v = _norm(jnp.broadcast_to(v0, batch_shape + (n,)))
+
+    def body(v, _):
+        return _norm(sym_matvec(mat, v, backend="xla")), ()
+
+    v, _ = _jax.lax.scan(body, v, None, length=iters)
+    mu = jnp.sum(v * sym_matvec(mat, v, backend="xla"), axis=-1)
+    mu, v = _downcast(mu, half), _downcast(v, half)
+    return (mu, v) if return_vector else mu
 
 
 def _sym_solve_impl(mat, vec, eps, refine=0):

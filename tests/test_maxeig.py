@@ -1,0 +1,201 @@
+"""sym_maxeig — fused batched power iteration (dominant eigenpair).
+
+Oracle: numpy ``eigvalsh`` dominant-|λ| eigenvalue on gap-engineered
+symmetric matrices (a rank-1 boost guarantees λ2/λ1 is small enough
+that ``iters`` steps converge to oracle precision)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastmath_tpu.kernels.sym_pallas import sym_maxeig_cf
+from fastmath_tpu.layouts import full_to_sym
+from fastmath_tpu.ops.sym import sym_maxeig
+
+
+def gapped_sym(rng, b, n, sign=1.0):
+    """Random symmetric batch with a dominant (sign * ~8)-eigenvalue."""
+    a = rng.standard_normal((b, n, n))
+    A = (a + a.swapaxes(-1, -2)) / 2
+    u = rng.standard_normal((b, n))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    A = A + sign * 8.0 * n * u[..., :, None] * u[..., None, :]
+    w = np.linalg.eigvalsh(A)
+    dom = w[np.arange(b), np.argmax(np.abs(w), axis=-1)]
+    compact = np.asarray(full_to_sym(jnp.asarray(A)))
+    return A, compact, dom
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 6, 8, 12, 16])
+def test_public_parity(n, rng):
+    A, compact, dom = gapped_sym(rng, 200, n)
+    mu, v = sym_maxeig(jnp.asarray(compact), iters=120, return_vector=True)
+    mu, v = np.asarray(mu), np.asarray(v)
+    np.testing.assert_allclose(mu, dom, rtol=1e-10)
+    # eigenpair residual: A v = mu v, v unit
+    res = np.linalg.norm(
+        np.einsum("bij,bj->bi", A, v) - mu[:, None] * v, axis=-1)
+    assert res.max() < 1e-8 * np.abs(dom).max()
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, rtol=1e-12)
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 6, 8, 12, 16])
+def test_kernel_parity(n, rng):
+    _, compact, dom = gapped_sym(rng, 300, n)
+    v0 = rng.standard_normal((n, 1))
+    out = sym_maxeig_cf(jnp.asarray(compact.T.copy()), jnp.asarray(v0),
+                        iters=120, block=128)
+    np.testing.assert_allclose(np.asarray(out[0]), dom, rtol=1e-10)
+
+
+def test_negative_dominant(rng):
+    _, compact, dom = gapped_sym(rng, 100, 4, sign=-1.0)
+    assert (dom < 0).all()
+    mu = sym_maxeig(jnp.asarray(compact), iters=120)
+    np.testing.assert_allclose(np.asarray(mu), dom, rtol=1e-10)
+
+
+def test_backend_equivalence(rng):
+    _, compact, dom = gapped_sym(rng, 150, 6)
+    m = jnp.asarray(compact)
+    mu_x = sym_maxeig(m, iters=60, backend="xla")
+    mu_p = sym_maxeig(m, iters=60, backend="pallas")
+    np.testing.assert_allclose(np.asarray(mu_x), np.asarray(mu_p),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_broadcast_batch_dims(rng):
+    _, compact, dom = gapped_sym(rng, 6, 3)
+    m = jnp.asarray(compact.reshape(2, 3, 6))
+    mu = sym_maxeig(m, iters=120)
+    assert mu.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(mu).ravel(), dom, rtol=1e-10)
+
+
+def test_warm_start_and_iters0(rng):
+    A, compact, dom = gapped_sym(rng, 50, 4)
+    m = jnp.asarray(compact)
+    # converged vector as v0: a single extra iteration stays put
+    mu, v = sym_maxeig(m, iters=120, return_vector=True)
+    mu2 = sym_maxeig(m, iters=1, v0=v)
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu), rtol=1e-10)
+    # iters=0: Rayleigh quotient of the (normalized) v0 itself
+    mu0 = sym_maxeig(m, iters=0, v0=v)
+    np.testing.assert_allclose(np.asarray(mu0), np.asarray(mu), rtol=1e-10)
+
+
+def test_grad_pallas_matches_xla(rng):
+    _, compact, _ = gapped_sym(rng, 80, 4)
+    m = jnp.asarray(compact)
+    g_x = jax.grad(lambda m: jnp.sum(sym_maxeig(m, iters=40,
+                                                backend="xla")))(m)
+    g_p = jax.grad(lambda m: jnp.sum(sym_maxeig(m, iters=40,
+                                                backend="pallas")))(m)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_grad_is_eigvec_outer(rng):
+    """At convergence, d mu / d A = v v^T (classical eigenvalue
+    perturbation); in compact storage: diag v_i^2, offdiag 2 v_i v_j."""
+    _, compact, _ = gapped_sym(rng, 40, 3)
+    m = jnp.asarray(compact)
+    mu, v = sym_maxeig(m, iters=200, return_vector=True)
+    g = jax.grad(lambda m: jnp.sum(sym_maxeig(m, iters=200)))(m)
+    v = np.asarray(v)
+    want = np.stack(
+        [v[:, 0] ** 2, v[:, 1] ** 2, v[:, 2] ** 2,
+         2 * v[:, 0] * v[:, 1], 2 * v[:, 0] * v[:, 2],
+         2 * v[:, 1] * v[:, 2]], axis=-1)
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-6, atol=1e-9)
+
+
+def test_zero_matrix_finite():
+    m = jnp.zeros((10, 6))
+    mu, v = sym_maxeig(m, iters=30, return_vector=True)
+    assert np.isfinite(np.asarray(mu)).all()
+    assert np.isfinite(np.asarray(v)).all()
+    np.testing.assert_allclose(np.asarray(mu), 0.0)
+
+
+def test_half_contract(rng):
+    _, compact, dom = gapped_sym(rng, 64, 4)
+    mu = sym_maxeig(jnp.asarray(compact, jnp.bfloat16), iters=60)
+    assert mu.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(mu, np.float64), dom, rtol=0.05)
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        sym_maxeig(jnp.zeros((4, 7)))  # 7 not triangular
+    with pytest.raises(ValueError):
+        sym_maxeig(jnp.zeros((4, 6)), iters=-1)
+    with pytest.raises(ValueError):
+        sym_maxeig(jnp.zeros((4, 6)), v0=jnp.zeros((4,)))  # N=3 != 4
+
+
+class TestMatvecChain:
+    """sym_matvec_chain — fused Richardson/Neumann iteration."""
+
+    @pytest.mark.parametrize("n", [1, 2, 4, 6, 8, 12, 16])
+    def test_parity_vs_numpy(self, n, rng):
+        b = 200
+        a = rng.standard_normal((b, n, n))
+        A = (a + a.swapaxes(-1, -2)) / (6 * n)  # spectral radius << 1
+        compact = np.asarray(full_to_sym(jnp.asarray(A)))
+        v = rng.standard_normal((b, n))
+        c = rng.standard_normal((b, n))
+        k = 12
+        from fastmath_tpu.ops.sym import sym_matvec_chain
+
+        got_x = np.asarray(sym_matvec_chain(
+            jnp.asarray(compact), jnp.asarray(v), k, add=jnp.asarray(c),
+            backend="xla"))
+        got_p = np.asarray(sym_matvec_chain(
+            jnp.asarray(compact), jnp.asarray(v), k, add=jnp.asarray(c),
+            backend="pallas"))
+        x = v.copy()
+        for _ in range(k):
+            x = np.einsum("bij,bj->bi", A, x) + c
+        np.testing.assert_allclose(got_x, x, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(got_p, x, rtol=1e-10, atol=1e-12)
+
+    def test_neumann_series_sums_to_solve(self, rng):
+        n, b = 4, 100
+        a = rng.standard_normal((b, n, n))
+        A = (a + a.swapaxes(-1, -2)) / (8 * n)
+        compact = np.asarray(full_to_sym(jnp.asarray(A)))
+        c = rng.standard_normal((b, n))
+        from fastmath_tpu.ops.sym import sym_matvec_chain
+
+        got = np.asarray(sym_matvec_chain(
+            jnp.asarray(compact), jnp.asarray(c), 200, add=jnp.asarray(c)))
+        want = np.linalg.solve(np.eye(n) - A, c[..., None])[..., 0]
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+    def test_grad_backends_match(self, rng):
+        n, b = 3, 60
+        a = rng.standard_normal((b, n, n))
+        A = (a + a.swapaxes(-1, -2)) / (6 * n)
+        compact = jnp.asarray(np.asarray(full_to_sym(jnp.asarray(A))))
+        v = jnp.asarray(rng.standard_normal((b, n)))
+        from fastmath_tpu.ops.sym import sym_matvec_chain
+
+        for be in ("xla", "pallas"):
+            gl = jax.grad(lambda m, be=be: jnp.sum(
+                sym_matvec_chain(m, v, 8, add=v, backend=be) ** 2))(compact)
+            if be == "xla":
+                ref = gl
+            else:
+                np.testing.assert_allclose(np.asarray(gl), np.asarray(ref),
+                                           rtol=1e-9, atol=1e-11)
+
+    def test_iters0_and_validation(self, rng):
+        from fastmath_tpu.ops.sym import sym_matvec_chain
+
+        v = jnp.asarray(rng.standard_normal((5, 3)))
+        m = jnp.asarray(rng.standard_normal((5, 6)))
+        out = sym_matvec_chain(m, v, 0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(v))
+        with pytest.raises(ValueError):
+            sym_matvec_chain(m, v, -1)

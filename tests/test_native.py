@@ -77,3 +77,57 @@ def test_matches_jax_path(rng):
     got = native.sym_solve_np(compact, vec)
     want = np.asarray(F.sym_solve(jnp.asarray(compact), jnp.asarray(vec)))
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-11)
+
+
+@pytest.mark.parametrize("n", [2, 4, 6, 12])
+def test_native_chains(n, rng):
+    """Fused-iteration chain entry points (CPU analogs of the Pallas
+    chain kernels): solve chain, matvec chain, and the Neumann limit."""
+    full, compact = randsym(rng, 200, n)  # SPD (diag-shifted)
+    v = rng.standard_normal((200, n))
+    k = 6
+    got = native.sym_solve_chain_np(compact, v, k, add=v)
+    x = v.copy()
+    for _ in range(k):
+        x = np.linalg.solve(full, x[..., None])[..., 0] + v
+    np.testing.assert_allclose(got, x, rtol=1e-10, atol=1e-12)
+    # contraction scaling from the actual spectrum (Wishart lambda_max
+    # fluctuates well past its ~4n typical value in a 200-batch)
+    sc = 0.8 / np.abs(np.linalg.eigvalsh(full)).max()
+    got = native.sym_matvec_chain_np(compact * sc, v, k, add=v)
+    x = v.copy()
+    for _ in range(k):
+        x = np.einsum("bij,bj->bi", full * sc, x) + v
+    np.testing.assert_allclose(got, x, rtol=1e-10, atol=1e-12)
+    # Neumann limit: (I - sA)^-1 v
+    got = native.sym_matvec_chain_np(compact * sc, v, 400, add=v)
+    want = np.linalg.solve(np.eye(n) - full * sc, v[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+def test_native_maxeig(rng):
+    n, b = 5, 300
+    full, compact = randsym(rng, b, n)
+    u = rng.standard_normal((b, n))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    boost = 8.0 * n * np.einsum("bi,bj->bij", u, u)
+    full = full + boost
+    rows, cols = np.triu_indices(n, 1)
+    compact = np.concatenate(
+        [full[..., np.arange(n), np.arange(n)], full[..., rows, cols]], -1)
+    mu, v = native.sym_maxeig_np(compact, iters=120, return_vector=True)
+    w = np.linalg.eigvalsh(full)
+    dom = w[np.arange(b), np.argmax(np.abs(w), -1)]
+    np.testing.assert_allclose(mu, dom, rtol=1e-9)
+    res = np.linalg.norm(
+        np.einsum("bij,bj->bi", full, v) - mu[:, None] * v, axis=-1)
+    assert res.max() < 1e-7 * np.abs(dom).max()
+    # matches the jax/pallas public op on the same inputs
+    from fastmath_tpu.ops.sym import sym_maxeig
+
+    rs = np.random.RandomState(0)
+    v0 = rs.standard_normal(n)
+    mu_jax = np.asarray(sym_maxeig(jnp.asarray(compact), iters=120,
+                                   v0=jnp.asarray(v0)))
+    mu_nat = native.sym_maxeig_np(compact, iters=120, v0=v0)
+    np.testing.assert_allclose(mu_nat, mu_jax, rtol=1e-11, atol=1e-12)

@@ -189,3 +189,25 @@ def test_type4_ortho_involutive(fam, rng):
     y = ours(jnp.asarray(x), norm="ortho", type=4)
     back = np.asarray(ours(y, norm="ortho", type=4))
     np.testing.assert_allclose(back, x, rtol=1e-11, atol=1e-12)
+
+
+@pytest.mark.parametrize("prec", ["highest", "high", "default"])
+def test_precision_knob(prec, rng):
+    """`precision=` (extension) selects the MXU pass precision of the
+    basis-matmul path; on CPU all modes are exact f32, so this checks
+    the plumbing (incl. idct/dctn threading) and that grads flow."""
+    import jax
+
+    x = rng.standard_normal((6, 32))
+    want = np.asarray(RT.dct(jnp.asarray(x), norm="ortho"))
+    got = np.asarray(RT.dct(jnp.asarray(x), norm="ortho", precision=prec))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    rt = np.asarray(RT.idct(RT.dct(jnp.asarray(x), precision=prec),
+                            precision=prec))
+    np.testing.assert_allclose(rt, x, rtol=1e-5, atol=1e-7)
+    nd = np.asarray(RT.dctn(jnp.asarray(x), norm="ortho", precision=prec))
+    want_nd = np.asarray(RT.dctn(jnp.asarray(x), norm="ortho"))
+    np.testing.assert_allclose(nd, want_nd, rtol=1e-5, atol=1e-7)
+    g = jax.grad(lambda t: jnp.sum(
+        RT.dst(t, norm="ortho", precision=prec) ** 2))(jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()

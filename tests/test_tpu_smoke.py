@@ -125,3 +125,35 @@ def test_smoke_backend_report():
     print(f"\n[smoke] backend={jax.default_backend()} "
           f"devices={jax.devices()}", flush=True)
     assert jax.default_backend() in ("tpu", "cpu")
+
+
+def test_smoke_sym_maxeig_pallas(rng):
+    """Fused power-iteration kernel (dominant eigenpair)."""
+    n = 6
+    spd = _spd(rng, _B, n)
+    u = rng.standard_normal((_B, n)).astype(np.float32)
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    spd = spd + 8.0 * n * np.einsum("bi,bj->bij", u, u).astype(np.float32)
+    mu = np.asarray(
+        S.sym_maxeig(_compact(spd), iters=64, backend="pallas"), np.float64)
+    w = np.linalg.eigvalsh(spd.astype(np.float64))
+    dom = w[np.arange(_B), np.argmax(np.abs(w), axis=-1)]
+    rel = np.abs(mu - dom) / np.abs(dom)
+    assert rel.max() < 1e-4
+
+
+def test_smoke_sym_matvec_chain_pallas(rng):
+    """Fused Richardson/Neumann matvec chain kernel."""
+    n, k = 4, 8
+    a = rng.standard_normal((_B, n, n)).astype(np.float32)
+    A = ((a + a.swapaxes(-1, -2)) / (6 * n)).astype(np.float32)
+    v = rng.standard_normal((_B, n)).astype(np.float32)
+    got = np.asarray(
+        S.sym_matvec_chain(_compact(A), jnp.asarray(v), k,
+                           add=jnp.asarray(v), backend="pallas"),
+        np.float64)
+    x = v.astype(np.float64)
+    for _ in range(k):
+        x = np.einsum("bij,bj->bi", A.astype(np.float64), x) + v
+    nw = np.linalg.norm(got - x, axis=-1) / np.linalg.norm(x, axis=-1)
+    assert nw.max() < 1e-5
