@@ -486,6 +486,29 @@ def main():
             record("eig_sym 4x4 (pallas, cf)", BIG, "f32", BIG, dt, med, p99,
                    "eig/s", bytes_per_item=(10 + 4) * 4)
             del acf
+            # 16x16: rolled parallel-order Jacobi tier (9 <= n <= 16;
+            # n-1 rounds of n/2 disjoint rotations per sweep applied as
+            # full-grid vector ops — kernels/eig_pallas.py). The XLA
+            # comparison runs a smaller batch: its per-rotation
+            # whole-batch rewrite makes 200k x 16x16 minutes-slow.
+            a16 = spd_batch(rng, MID, 16)
+            aj16 = jax.device_put(jnp.asarray(a16))
+            f16 = jax.jit(lambda x: Q.eig_sym(x, check_finite=False))
+            dt = honest_time(f16, aj16, calls=8)
+            w16 = np.sort(np.asarray(f16(aj16[:2048])), -1)
+            ww16 = np.sort(
+                np.linalg.eigvalsh(a16[:2048].astype(np.float64)), -1)
+            med, p99 = rel_err(w16, ww16)
+            record("eig_sym 16x16 (auto->pallas rolled)", MID, "f32", MID,
+                   dt, med, p99, "eig/s", bytes_per_item=(256 + 16) * 4)
+            SM16 = 8192
+            ax16 = aj16[:SM16]
+            fx16 = jax.jit(
+                lambda x: Q.eig_sym(x, check_finite=False, backend="xla"))
+            dt = honest_time(fx16, ax16, calls=2)
+            record("eig_sym 16x16 (jacobi, xla)", SM16, "f32", SM16, dt,
+                   med, p99, "eig/s", bytes_per_item=(256 + 16) * 4)
+            del a16, aj16, ax16
         del a, aj
 
     # --- fused power iteration (dominant eigenpair) -------------------------
@@ -590,6 +613,33 @@ def main():
         record("logm+expm 4x4 sustained (chain k=4)", BIG, "f32", BIG,
                2 * dt, med, p99, "logm/s", bytes_per_item=2 * 16 * 4)
         del Xj, Ej
+        # meanm: the reference's worst device-boundary case (SURVEY
+        # 3.4 — its logm is a per-matrix scipy loop on CPU, so meanm
+        # round-trips K matrices every iteration). Here the whole
+        # fixed point is one device-resident while_loop, and it vmaps:
+        # G independent K-matrix barycenters run lane-parallel.
+        # Accuracy column = barycenter residual ||mean_k logm(M \ A_k)||
+        # relative to the mean tangent norm (the defining equation),
+        # measured on a slice.
+        G, K = 4096, 8
+        Xg = rng.standard_normal((G, K, 4, 4)).astype(np.float32) * 0.25
+        Ag = np.asarray(jax.jit(L.expm)(jnp.asarray(Xg)))
+        Agj = jax.device_put(jnp.asarray(Ag))
+        fmean = jax.jit(jax.vmap(lambda m: L.meanm(m, max_iter=64)))
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")  # x64-off fallback warning
+            dt = honest_time(fmean, Agj, calls=8)
+            mg = fmean(Agj[:256])
+        from fastmath_tpu.ops.sugar import lmdiv as _lmdiv
+        resid = jax.vmap(
+            lambda m, a: jnp.linalg.norm(jnp.mean(L.logm(_lmdiv(m, a)), 0))
+            / jnp.mean(jnp.linalg.norm(L.logm(a), axis=(-2, -1)))
+        )(mg, Agj[:256])
+        resid = np.sort(np.asarray(resid))
+        record(f"meanm K={K} 4x4 (vmapped fixed point)", G, "f32", G, dt,
+               float(np.median(resid)), float(resid[int(0.99 * len(resid))]),
+               "means/s", bytes_per_item=K * 16 * 4)
 
     # --- nan reductions ------------------------------------------------------
     if on("reduce"):

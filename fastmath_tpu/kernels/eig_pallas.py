@@ -27,7 +27,8 @@ from .sym_pallas import _interpret_default
 __all__ = ["eig_sym_cf"]
 
 _DEFAULT_SWEEPS = 8
-_MAX_N = 8
+_MAX_N = 16
+_UNROLL_MAX_N = 8
 
 
 def _jacobi_sweep_registers(E, V, n):
@@ -140,6 +141,135 @@ def _eig_kernel(n, sweeps, compute_u, mat_ref, *out_refs):
                 u_ref[i * n + j] = V[i][j]
 
 
+def _round_robin(n):
+    """Tournament (circle-method) rotation schedule: a list of
+    ``n-1`` (``n`` odd: ``n``) rounds, each a set of disjoint ``(p, q)``
+    index pairs that together cover every pair exactly once per sweep.
+    Disjointness is what lets a whole round's rotations apply as one
+    vectorized two-sided update on the stacked grid."""
+    m = n if n % 2 == 0 else n + 1
+    players = list(range(m))
+    rounds = []
+    for _ in range(m - 1):
+        pairs = []
+        for i in range(m // 2):
+            a, b = players[i], players[m - 1 - i]
+            if a < n and b < n:
+                pairs.append((min(a, b), max(a, b)))
+        rounds.append(pairs)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return rounds
+
+
+def _apply_round(E, V, pairs, n):
+    """Apply one round of disjoint Jacobi rotations to the stacked
+    symmetric grid ``E (n, n, *lane)`` (and eigenvector accumulator
+    ``V`` when not None) as six full-grid vector ops: row combine,
+    column combine, V-column combine, each ``C*X + S*X[perm]`` with a
+    static partner permutation. This is the op-count/compile-size
+    trade that makes 9 <= n <= 16 viable: ~6 n^2 lane-FMAs per round
+    in O(1) traced ops, vs thousands of per-element register ops for
+    the unrolled cyclic sweep (which Mosaic compiles for minutes at
+    n = 16)."""
+    one = jnp.ones_like(E[0, 0])
+    zero = jnp.zeros_like(one)
+    coef = {}
+    for p, q in pairs:
+        app, aqq, apq = E[p, p], E[q, q], E[p, q]
+        r = jnp.abs(apq)
+        active = r > 0
+        rsafe = jnp.where(active, r, one)
+        tau = (aqq - app) / (2.0 * rsafe)
+        sgn = jnp.where(tau >= 0, 1.0, -1.0)
+        t = -sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(active, t, zero)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c * jnp.where(apq >= 0, 1.0, -1.0)
+        coef[p] = (c, s, q)
+        coef[q] = (c, -s, p)
+    C = jnp.stack([coef[i][0] if i in coef else one for i in range(n)], 0)
+    S = jnp.stack([coef[i][1] if i in coef else zero for i in range(n)], 0)
+    perm = [coef[i][2] if i in coef else i for i in range(n)]
+    # rows: E <- J^T E  (new_p = c p + s q ; new_q = -s p + c q)
+    Ep = jnp.stack([E[p] for p in perm], 0)
+    E = C[:, None] * E + S[:, None] * Ep
+    # columns: E <- E J  (same coefficient pattern on the column axis)
+    Ec = jnp.stack([E[:, p] for p in perm], 1)
+    E = C[None, :] * E + S[None, :] * Ec
+    if V is not None:
+        Vc = jnp.stack([V[:, p] for p in perm], 1)
+        V = C[None, :] * V + S[None, :] * Vc
+    return E, V
+
+
+def _eig_rolled_kernel(n, sweeps, compute_u, mat_ref, *out_refs):
+    """Parallel-order (round-robin) Jacobi on a stacked register grid,
+    for 9 <= n <= 16. One sweep = n-1 unrolled rounds of n/2 disjoint
+    rotations; the sweep loop is a ``lax.while_loop`` with the same
+    Frobenius-relative whole-block convergence exit as the unrolled
+    kernel. Parallel-order Jacobi is cyclic (every pair once per
+    sweep), so quadratic convergence carries over."""
+    E = jnp.stack(
+        [
+            jnp.stack([mat_ref[tri_index(i, j, n)] for j in range(n)], 0)
+            for i in range(n)
+        ],
+        0,
+    )
+    one = jnp.ones_like(E[0, 0])
+    zero = jnp.zeros_like(one)
+    rounds = _round_robin(n)
+    if compute_u:
+        V0 = jnp.stack(
+            [
+                jnp.stack([one if i == j else zero for j in range(n)], 0)
+                for i in range(n)
+            ],
+            0,
+        )
+    eps = float(jnp.finfo(E.dtype).eps)
+    # Mosaic has no lowering for rank-extending reshapes of vectors —
+    # build the off-diagonal mask at full rank via broadcasted_iota
+    # (same trick as sym_pallas._plu_rolled's one-hot selectors)
+    mshape = (n, n) + (1,) * (E.ndim - 2)
+    mrows = jax.lax.broadcasted_iota(jnp.int32, mshape, 0)
+    mcols = jax.lax.broadcasted_iota(jnp.int32, mshape, 1)
+    offmask = (mrows != mcols).astype(E.dtype)
+    off_tol = jnp.max(jnp.sum(E * E, axis=(0, 1))) * (16.0 * eps * eps)
+
+    def off2(e):
+        return jnp.max(jnp.sum((e * offmask) ** 2, axis=(0, 1)))
+
+    def cond(carry):
+        return (carry[-1] < sweeps) & (off2(carry[0]) > off_tol)
+
+    def sweep(e, v):
+        for pairs in rounds:
+            e, v = _apply_round(e, v, pairs, n)
+        return e, v
+
+    if compute_u:
+        def body(carry):
+            e, v = sweep(carry[0], carry[1])
+            return e, v, carry[2] + 1
+
+        E, V, _ = jax.lax.while_loop(cond, body, (E, V0, jnp.asarray(0)))
+    else:
+        def body(carry):
+            e, _ = sweep(carry[0], None)
+            return e, carry[1] + 1
+
+        E, _ = jax.lax.while_loop(cond, body, (E, jnp.asarray(0)))
+    w_ref = out_refs[0]
+    for i in range(n):
+        w_ref[i] = E[i, i]
+    if compute_u:
+        u_ref = out_refs[1]
+        for i in range(n):
+            for j in range(n):
+                u_ref[i * n + j] = V[i, j]
+
+
 def eig_sym_cf(
     mat: jnp.ndarray,
     compute_u: bool = False,
@@ -165,7 +295,17 @@ def eig_sym_cf(
     batch_shape = mat.shape[1:]
     m2 = mat.reshape(nn, -1)
     b = m2.shape[-1]
-    kern = functools.partial(_eig_kernel, n, int(sweeps), bool(compute_u))
+    if n > _UNROLL_MAX_N:
+        # stacked-grid tier: E + permuted copy (+ V, Vc) are each n^2
+        # lane rows live at once — cap the block so ~5 n^2 rows x 4 B
+        # x block stays inside scoped VMEM (cf. _plu_rolled's 1024;
+        # 1024 is also the floor: the sublane dim bb = block/128 must
+        # be a multiple of 8 for the Mosaic block layout)
+        block = min(block, 1024)
+        kern = functools.partial(
+            _eig_rolled_kernel, n, int(sweeps), bool(compute_u))
+    else:
+        kern = functools.partial(_eig_kernel, n, int(sweeps), bool(compute_u))
 
     # _call_rows supports a single output; inline a two-output variant
     block = max(128, (block // 128) * 128)

@@ -14,18 +14,22 @@ def randsym_cf(rng, b, n):
     return a, np.ascontiguousarray(compact.T)
 
 
-@pytest.mark.parametrize("n", [2, 3, 4, 6, 8])
+@pytest.mark.parametrize("n", [2, 3, 4, 6, 8, 9, 12, 16])
 def test_eig_values(n, rng):
-    full, cf = randsym_cf(rng, 300, n)
-    w = np.asarray(eig_sym_cf(jnp.asarray(cf), block=256, sweeps=10)).T
+    # n <= 8: unrolled register cyclic Jacobi; n >= 9: rolled
+    # parallel-order Jacobi on stacked grids — same entry point.
+    full, cf = randsym_cf(rng, 300 if n <= 8 else 80, n)
+    w = np.asarray(
+        eig_sym_cf(jnp.asarray(cf), block=256, sweeps=10 if n <= 8 else 14)).T
     want = np.sort(np.linalg.eigvalsh(full), -1)
     np.testing.assert_allclose(np.sort(w, -1), want, rtol=1e-8, atol=1e-8)
 
 
-@pytest.mark.parametrize("n", [2, 4])
+@pytest.mark.parametrize("n", [2, 4, 12])
 def test_eig_vectors(n, rng):
-    full, cf = randsym_cf(rng, 100, n)
-    w, u = eig_sym_cf(jnp.asarray(cf), compute_u=True, block=256, sweeps=10)
+    full, cf = randsym_cf(rng, 100 if n <= 8 else 40, n)
+    w, u = eig_sym_cf(jnp.asarray(cf), compute_u=True, block=256,
+                      sweeps=10 if n <= 8 else 14)
     w = np.asarray(w).T  # (B, n)
     u = np.asarray(u).T.reshape(-1, n, n)  # (B, n, n), u[b, i, j]
     recon = np.einsum("...ij,...j,...kj->...ik", u, w, u)
@@ -67,6 +71,21 @@ class TestPublicDispatch:
                           np.asarray(w), np.asarray(u))
         np.testing.assert_allclose(recon, full, rtol=1e-8, atol=1e-8)
 
+    def test_rolled_tier_values_and_grad(self, rng):
+        """9 <= n <= 16 routes to the rolled parallel-order Jacobi."""
+        import jax
+        from fastmath_tpu.ops.qr import eig_sym
+
+        full, _ = randsym_cf(rng, 12, 12)
+        a = jnp.asarray(full)
+        w_p = np.sort(np.asarray(eig_sym(a, backend="pallas")), -1)
+        w_x = np.sort(np.asarray(eig_sym(a, backend="xla")), -1)
+        np.testing.assert_allclose(w_p, w_x, rtol=1e-8, atol=1e-9)
+        gp = jax.grad(lambda x: jnp.sum(eig_sym(x, backend="pallas")))(a)
+        gx = jax.grad(lambda x: jnp.sum(eig_sym(x, backend="xla")))(a)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-7, atol=1e-8)
+
     def test_grad_w_matches_xla(self, rng):
         import jax
         from fastmath_tpu.ops.qr import eig_sym
@@ -107,7 +126,7 @@ class TestPublicDispatch:
         with pytest.raises(ValueError):
             eig_sym(a, backend="nope")
         with pytest.raises(ValueError):
-            eig_sym(jnp.asarray(np.eye(9)), backend="pallas")  # n > 8
+            eig_sym(jnp.asarray(np.eye(17)), backend="pallas")  # n > 16
 
 
 def test_clustered_eigenvalues(rng):

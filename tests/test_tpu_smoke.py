@@ -99,6 +99,15 @@ def test_smoke_eig_pallas(rng):
     assert np.abs(w - ww).max() / np.abs(ww).max() < 1e-5
 
 
+def test_smoke_eig16_pallas(rng):
+    """Rolled parallel-order Jacobi tier (9 <= n <= 16)."""
+    spd = _spd(rng, _B, 16)
+    w = np.sort(np.asarray(Q.eig_sym(jnp.asarray(spd), check_finite=False,
+                                     backend="pallas")), -1)
+    ww = np.sort(np.linalg.eigvalsh(spd.astype(np.float64)), -1)
+    assert np.abs(w - ww).max() / np.abs(ww).max() < 1e-5
+
+
 def test_smoke_expm_logm_pallas(rng):
     X = (rng.standard_normal((_B, 4, 4)) * 0.4).astype(np.float32)
     # on TPU these route through the expm/logm register kernels
