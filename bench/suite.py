@@ -174,7 +174,7 @@ def main():
     ap.add_argument("--small", action="store_true", help="reduced batch sizes")
     ap.add_argument("--section", default="all",
                     help="comma-set of {sym,chain,batched,gate16,eig,dct,"
-                         "lie,reduce,solve8,bf16,maxeig}")
+                         "lie,reduce,solve8,bf16,maxeig,misc}")
     args = ap.parse_args()
     sections = set(args.section.split(","))
 
@@ -630,13 +630,19 @@ def main():
         with _w.catch_warnings():
             _w.simplefilter("ignore")  # x64-off fallback warning
             dt = honest_time(fmean, Agj, calls=8)
-            mg = fmean(Agj[:256])
-        from fastmath_tpu.ops.sugar import lmdiv as _lmdiv
-        resid = jax.vmap(
-            lambda m, a: jnp.linalg.norm(jnp.mean(L.logm(_lmdiv(m, a)), 0))
-            / jnp.mean(jnp.linalg.norm(L.logm(a), axis=(-2, -1)))
-        )(mg, Agj[:256])
-        resid = np.sort(np.asarray(resid))
+            mg = fmean(Agj[:64])
+        # residual oracle on the host (scipy logm): under vmap the
+        # device logm's exceptional-branch lax.cond runs both branches
+        # and the complex rescue path has no TPU lowering
+        mgn = np.asarray(mg, np.float64)
+        Asl = Ag[:64].astype(np.float64)
+        num, den = [], []
+        for gi in range(64):
+            Ls = [np.real(sla.logm(np.linalg.solve(mgn[gi], Asl[gi, k])))
+                  for k in range(K)]
+            num.append(np.linalg.norm(np.mean(Ls, axis=0)))
+            den.append(np.mean([np.linalg.norm(l) for l in Ls]))
+        resid = np.sort(np.array(num) / np.array(den))
         record(f"meanm K={K} 4x4 (vmapped fixed point)", G, "f32", G, dt,
                float(np.median(resid)), float(resid[int(0.99 * len(resid))]),
                "means/s", bytes_per_item=K * 16 * 4)
@@ -653,6 +659,55 @@ def main():
         record("nansum dim=-1", BIG, "f32", BIG * 64, dt, med, p99, "elem/s",
                bytes_per_item=4 + 4 / 64)
         del xj, xx
+
+    # --- special / simplex (XLA-fused elementwise families) -----------------
+    if on("misc"):
+        import scipy.special as ssp
+        from fastmath_tpu.ops import special as SP
+        from fastmath_tpu.ops import simplex as SX
+
+        # besseli nu=0: two-branch polynomial approximation; inputs
+        # straddle the z=15/4 branch split
+        z = (rng.random(BIG, dtype=np.float64) * 30.0).astype(np.float32)
+        zj = jax.device_put(jnp.asarray(z))
+        f = jax.jit(lambda t: SP.besseli(0, t, mode="norm"))
+        dt = honest_time(f, zj)
+        want = ssp.i0e(z[:65536].astype(np.float64))
+        med, p99 = rel_err(np.asarray(f(zj[:65536])), want)
+        record("besseli nu=0 (norm)", BIG, "f32", BIG, dt, med, p99,
+               "eval/s", bytes_per_item=8)
+        # sustained: z <- besseli(0, z, norm) + z stays in [0, 31)
+        dt = chained_time(lambda t: SP.besseli(0, t, mode="norm") + t,
+                          zj, k=32, calls=8)
+        record("besseli nu=0 sustained (chain k=32)", BIG, "f32", BIG, dt,
+               med, p99, "eval/s", bytes_per_item=8)
+        # general-nu log-space path (series + uniform asymptotic)
+        f = jax.jit(lambda t: SP.besseli(3.7, t, mode="log"))
+        dt = honest_time(f, zj)
+        want = np.log(ssp.iv(3.7, z[:65536].astype(np.float64)))
+        med, p99 = rel_err(np.asarray(f(zj[:65536])), want)
+        record("besseli nu=3.7 (log)", BIG, "f32", BIG, dt, med, p99,
+               "eval/s", bytes_per_item=8)
+        del zj, z
+        # implicit-class logsumexp / softmax over K-1 = 8 logits
+        xl = rng.standard_normal((BIG, 8)).astype(np.float32)
+        xlj = jax.device_put(jnp.asarray(xl))
+        f = jax.jit(lambda t: SX.logsumexp(t, dim=-1, implicit=True))
+        dt = honest_time(f, xlj)
+        x64 = np.concatenate(
+            [xl[:65536], np.zeros((65536, 1), np.float32)], -1
+        ).astype(np.float64)
+        want = ssp.logsumexp(x64, axis=-1)
+        med, p99 = rel_err(np.asarray(f(xlj[:65536])), want)
+        record("logsumexp implicit K=9", BIG, "f32", BIG, dt, med, p99,
+               "rows/s", bytes_per_item=9 * 4)
+        f = jax.jit(lambda t: SX.softmax(t, dim=-1, implicit=(True, True)))
+        dt = honest_time(f, xlj)
+        wsm = ssp.softmax(x64, axis=-1)[..., :8]
+        med, p99 = rel_err(np.asarray(f(xlj[:65536])), wsm)
+        record("softmax implicit K=9", BIG, "f32", BIG, dt, med, p99,
+               "rows/s", bytes_per_item=2 * 8 * 4)
+        del xlj, xl
 
     # --- small-n dense solves (unrolled PLU / cholesky tiers) ---------------
     if on("batched"):

@@ -404,7 +404,15 @@ def _logm_exceptional(A):
     return jnp.where((is_normal & diag_ok)[..., None, None], Ln, Lsh)
 
 
-def _logm_impl(mat):
+def _logm_plain(mat):
+    """The regular-case batched log: register kernel (d <= 4 on TPU)
+    or device ISS, NO exceptional-branch rescue. Returns ``(L, ok)``
+    with non-converged / branch-cut lanes NaN and ``ok`` False.
+    :func:`meanm` iterates on this directly: the rescue's ``lax.cond``
+    turns into a both-branches select under ``vmap``/``while_loop``
+    (~100x the regular path per iteration), and the reference's
+    ``meanm`` treats complex projections as divergence anyway
+    (``lie.py:80-82``)."""
     A = jnp.asarray(mat)
     if not jnp.issubdtype(A.dtype, jnp.floating) and not jnp.issubdtype(
         A.dtype, jnp.complexfloating
@@ -423,6 +431,17 @@ def _logm_impl(mat):
         ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))
     else:
         L, ok = _iss_log_core(A)
+    return L, ok
+
+
+def _logm_impl(mat):
+    A = jnp.asarray(mat)
+    if not jnp.issubdtype(A.dtype, jnp.floating) and not jnp.issubdtype(
+        A.dtype, jnp.complexfloating
+    ):
+        A = A.astype(jnp.result_type(float))
+    is_complex = jnp.issubdtype(A.dtype, jnp.complexfloating)
+    L, ok = _logm_plain(A)
     bad = ~ok
 
     def rescue():
@@ -521,8 +540,12 @@ def meanm(mats, max_iter: int = 1024, tol: float = 1e-20):
 
     def body(carry):
         mean, best_mean, best_sos, _, n_iter, _ = carry
-        log_mats = logm(lmdiv(mean, mats))
-        diverged = ~jnp.all(jnp.isfinite(log_mats))
+        # regular-case log only (see _logm_plain): a branch-cut /
+        # non-converged projection is meanm divergence by contract
+        # (reference ``lie.py:80-82``), and the rescue's lax.cond
+        # would run both branches every iteration inside while_loop
+        log_mats, log_ok = _logm_plain(lmdiv(mean, mats))
+        diverged = ~(jnp.all(jnp.isfinite(log_mats)) & jnp.all(log_ok))
         mean_log = jnp.mean(log_mats, axis=0)
         sos = jnp.sum(mean_log**2)
         better = (sos < best_sos) & ~diverged
