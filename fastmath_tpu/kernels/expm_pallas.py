@@ -25,7 +25,7 @@ from .sym_pallas import DEFAULT_BLOCK, _call_rows, _interpret_default
 
 __all__ = ["expm_cf"]
 
-_MAX_D = 4
+_MAX_D = 8
 _SQUARINGS_MAX = 20
 _ORDER_F32 = 9
 _ORDER_F64 = 16
@@ -114,10 +114,10 @@ def _expm_cf_fwd(mat, block, interpret):
 
 def _expm_cf_bwd(block, interpret, mat, g):
     # VJP via the Mathias block trick: L_exp(X^T)[G] is the top-right
-    # block of expm([[X^T, G], [0, X^T]]) — evaluated with the XLA
-    # scaling-and-squaring expm (2d x 2d exceeds the kernel's d <= 4).
-    from ..ops.lie import _expm_core
-
+    # block of expm([[X^T, G], [0, X^T]]). For d <= 4 the 2d x 2d
+    # block still fits this kernel, so the backward pass stays a
+    # one-memory-pass register kernel too; beyond that it falls back
+    # to the XLA scaling-and-squaring expm.
     d = int(round(np.sqrt(mat.shape[0])))
     # channel-first (d*d, B) -> batch-last (B, d, d)
     X = jnp.moveaxis(mat, 0, -1).reshape(*mat.shape[1:], d, d)
@@ -125,7 +125,17 @@ def _expm_cf_bwd(block, interpret, mat, g):
     Xt = jnp.swapaxes(X, -1, -2)
     top = jnp.concatenate([Xt, G], axis=-1)
     bot = jnp.concatenate([jnp.zeros_like(Xt), Xt], axis=-1)
-    blk = _expm_core(jnp.concatenate([top, bot], axis=-2))
+    blk_full = jnp.concatenate([top, bot], axis=-2)
+    if 2 * d <= _MAX_D:
+        cf = jnp.moveaxis(
+            blk_full.reshape(*blk_full.shape[:-2], 4 * d * d), 0, -1
+        ).reshape(4 * d * d, -1)
+        blk_cf = _expm_cf(cf, min(block, 2048), interpret)
+        blk = jnp.moveaxis(blk_cf, 0, -1).reshape(blk_full.shape)
+    else:
+        from ..ops.lie import _expm_core
+
+        blk = _expm_core(blk_full)
     dX = blk[..., :d, d:]
     return (jnp.moveaxis(dX.reshape(*mat.shape[1:], d * d), -1, 0),)
 
@@ -135,11 +145,11 @@ _expm_cf.defvjp(_expm_cf_fwd, _expm_cf_bwd)
 
 def expm_cf(
     mat: jnp.ndarray,
-    block: int = DEFAULT_BLOCK,
+    block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Channel-first batched matrix exponential ``(d*d, ...) ->
-    (d*d, ...)`` (Pallas; row-major channels, d <= 4).
+    (d*d, ...)`` (Pallas; row-major channels, d <= 8).
 
     Scaling-and-squaring with a fixed-order Taylor-Horner core and
     per-lane masked squaring depth, entirely in registers — one memory
@@ -150,7 +160,8 @@ def expm_cf(
     VMEM note: the kernel keeps ~5 live d x d register grids, so its
     per-block footprint is ~5 x d^2 x block x 4 B on top of the
     double-buffered IO; ``block`` > 8192 OOMs the 16 MB scoped VMEM at
-    d = 4 (unlike the leaner solve kernels, which take 32768).
+    d = 4 (unlike the leaner solve kernels, which take 32768) and the
+    default shrinks to 2048 at 5 <= d <= 8.
     """
     mat = jnp.asarray(mat)
     d = int(round(np.sqrt(mat.shape[0])))
@@ -159,6 +170,8 @@ def expm_cf(
             f"expm_cf expects (d*d, ...) rows with d <= {_MAX_D}; "
             f"got {mat.shape[0]} channels"
         )
+    if block is None:
+        block = DEFAULT_BLOCK if d <= 4 else 2048
     if not jnp.issubdtype(mat.dtype, jnp.floating):
         mat = mat.astype(jnp.result_type(float))
     if interpret is None:

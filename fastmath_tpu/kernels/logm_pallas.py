@@ -22,11 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sym import _det_expand
-from .sym_pallas import _call_rows, _interpret_default
+from .sym_pallas import _call_rows, _interpret_default, _plu_grid_solve
 
 __all__ = ["logm_cf"]
 
-_MAX_D = 4
+_MAX_D = 8
 _ISS_MAX = 12
 #: matches ops.lie._DB_ITERS: near-cut (but off-cut) eigenvalues need
 #: ~log2(1/dist) iterations of the unscaled product-form iteration;
@@ -51,20 +51,34 @@ def _mm_grid(A, B, d):
 
 
 def _inv_grid(E, d):
-    """Closed-form adjugate inverse of a register grid (d <= 4)."""
-    idx = tuple(range(d))
-    cache = {}
-    det = _det_expand(E, idx, idx, cache)
-    inv_det = 1.0 / det
-    out = [[None] * d for _ in range(d)]
-    for i in range(d):
-        for j in range(d):
-            rows = tuple(r for r in idx if r != j)
-            cols = tuple(c for c in idx if c != i)
-            minor = _det_expand(E, rows, cols, cache)
-            cof = -minor if (i + j) % 2 else minor
-            out[i][j] = cof * inv_det
-    return out
+    """Register-grid inverse: closed-form adjugate for d <= 4 (the
+    Laplace expansion stays cheap and division-free until the final
+    1/det), in-register one-hot pivoted LU with identity RHS beyond
+    (the adjugate's minor count grows ~2^d; the PLU is O(d^3) and
+    reuses :func:`..kernels.sym_pallas._plu_grid`'s machinery).
+    Singular/NaN lanes propagate to NaN either way — the divergence
+    signal the ISS loop relies on."""
+    if d <= 4:
+        idx = tuple(range(d))
+        cache = {}
+        det = _det_expand(E, idx, idx, cache)
+        inv_det = 1.0 / det
+        out = [[None] * d for _ in range(d)]
+        for i in range(d):
+            for j in range(d):
+                rows = tuple(r for r in idx if r != j)
+                cols = tuple(c for c in idx if c != i)
+                minor = _det_expand(E, rows, cols, cache)
+                cof = -minor if (i + j) % 2 else minor
+                out[i][j] = cof * inv_det
+        return out
+    one = jnp.ones_like(E[0][0])
+    zero = jnp.zeros_like(E[0][0])
+    eye_cols = [
+        [one if i == j else zero for i in range(d)] for j in range(d)
+    ]
+    xcols = _plu_grid_solve(E, eye_cols, d)  # xcols[j][i] = (E^-1)[i, j]
+    return [[xcols[j][i] for j in range(d)] for i in range(d)]
 
 
 def _flatten(G, d):
@@ -206,11 +220,11 @@ def _logm_kernel(d, order, db_tol, mat_ref, out_ref):
 
 def logm_cf(
     mat: jnp.ndarray,
-    block: int = 8192,
+    block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Channel-first batched matrix logarithm ``(d*d, ...) ->
-    (d*d, ...)`` (Pallas; row-major channels, real d <= 4).
+    (d*d, ...)`` (Pallas; row-major channels, real d <= 8).
 
     One-memory-pass inverse scaling-and-squaring (see module
     docstring). Forward-only — for gradients use
@@ -225,6 +239,10 @@ def logm_cf(
             f"logm_cf expects (d*d, ...) rows with d <= {_MAX_D}; "
             f"got {mat.shape[0]} channels"
         )
+    if block is None:
+        # ~9 live d x d register grids (A, D, M, Y, inverse scratch,
+        # Gregory accumulators): shrink the lane block as d grows
+        block = 8192 if d <= 4 else 2048
     if not jnp.issubdtype(mat.dtype, jnp.floating):
         mat = mat.astype(jnp.result_type(float))
     if interpret is None:

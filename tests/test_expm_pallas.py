@@ -14,12 +14,37 @@ def rand_cf(rng, b, d, scale=0.5):
     return X, np.ascontiguousarray(X.reshape(b, d * d).T)
 
 
-@pytest.mark.parametrize("d", [1, 2, 3, 4])
+@pytest.mark.parametrize("d", [1, 2, 3, 4, 5, 6])
 def test_vs_scipy(d, rng):
-    X, cf = rand_cf(rng, 80, d)
+    # d >= 5 exercises the PLU-based register inverse tier and the
+    # shrunken default block (2048); small batches keep interpret-mode
+    # eager-loop execution affordable (d = 7/8 costs minutes on CPU —
+    # covered by test_d8_tpu_only below and the TPU smoke set).
+    b = 80 if d <= 4 else 24
+    X, cf = rand_cf(rng, b, d)
     got = np.asarray(expm_cf(jnp.asarray(cf), block=128)).T.reshape(-1, d, d)
     want = np.stack([sla.expm(m) for m in X])
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="d=8 interpret-mode eager loops cost minutes "
+                           "on CPU; Mosaic-compiled path is fast")
+def test_d8_tpu_only(rng):
+    X, cf = rand_cf(rng, 256, 8)
+    got = np.asarray(
+        expm_cf(jnp.asarray(cf, jnp.float32))).T.reshape(-1, 8, 8)
+    want = np.stack([sla.expm(m) for m in X])
+    r = np.abs(got - want) / (np.abs(want) + 1e-30)
+    assert np.median(r) < 1e-6
+
+    from fastmath_tpu.kernels.logm_pallas import logm_cf
+
+    E = np.stack([sla.expm(m * 0.5) for m in X])
+    cfE = jnp.asarray(np.ascontiguousarray(E.reshape(-1, 64).T), jnp.float32)
+    back = np.asarray(logm_cf(cfE)).T.reshape(-1, 8, 8)
+    r = np.abs(back - 0.5 * X) / (np.abs(0.5 * X) + 1e-6)
+    assert np.nanmedian(r) < 1e-5
 
 
 def test_large_norm_squaring(rng):
@@ -47,7 +72,7 @@ def test_public_dispatch(rng):
     with pytest.raises(ValueError):
         expm_public(Xj, backend="nope")
     with pytest.raises(ValueError):
-        expm_public(jnp.asarray(np.zeros((2, 5, 5))), backend="pallas")
+        expm_public(jnp.asarray(np.zeros((2, 9, 9))), backend="pallas")
 
 
 def test_grad_mathias_vs_xla(rng):
@@ -64,14 +89,37 @@ def test_grad_mathias_vs_xla(rng):
                                rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.parametrize("d", [4, 6])
+def test_grad_large_d(d, rng):
+    """Backward coverage at the tier boundaries: d = 4 keeps the
+    Mathias 2d x 2d block inside the kernel (2d = 8), d = 6 exceeds it
+    and falls back to the XLA expm for the block."""
+    X, _ = rand_cf(rng, 8, d, scale=0.4)
+    Xj = jnp.asarray(X)
+    co = jnp.asarray(rng.standard_normal(X.shape))
+
+    def loss(x, backend):
+        return jnp.sum(co * expm_public(x, backend=backend))
+
+    gp = jax.grad(lambda x: loss(x, "pallas"))(Xj)
+    gx = jax.grad(lambda x: loss(x, "xla"))(Xj)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-8, atol=1e-10)
+
+
 class TestLogmPallas:
     """One-pass Pallas logm kernel (interpret mode)."""
 
-    @pytest.mark.parametrize("d", [2, 3, 4])
+    @pytest.mark.parametrize("d", [2, 3, 4, 5])
     def test_roundtrip(self, d, rng):
+        # d = 5 routes the register-grid inverse through the in-kernel
+        # PLU (`_inv_grid`) instead of the adjugate closed form; 6-8
+        # are the same code path at interpret-mode-prohibitive cost
+        # (eager DB-loop inverses) — covered on TPU (smoke set)
         from fastmath_tpu.kernels.logm_pallas import logm_cf
 
-        X = rng.standard_normal((60, d, d)) * 0.5
+        b = 60 if d <= 4 else 16
+        X = rng.standard_normal((b, d, d)) * 0.5
         E = np.stack([sla.expm(m) for m in X])
         cf = jnp.asarray(np.ascontiguousarray(E.reshape(-1, d * d).T))
         got = np.asarray(logm_cf(cf, block=128)).T.reshape(-1, d, d)
