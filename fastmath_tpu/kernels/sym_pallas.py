@@ -972,47 +972,76 @@ def _guarded_rsqrt(nrm2):
                      jnp.zeros_like(nrm2))
 
 
-def _maxeig_kernel(n, iters, mat_ref, vec_ref, out_ref):
+def _maxeig_kernel(n, iters, renorm_every, mat_ref, vec_ref, out_ref):
     """Fused batched power iteration: ``v <- A v / ||A v||`` iterated
     ``iters`` times with the compact matrix rows register-resident, then
     one final Rayleigh quotient ``mu = v^T A v``. Output rows: ``mu``
-    then the ``n`` unit-eigenvector rows. Per iteration the kernel does
-    one closed-form compact matvec (n^2 FMA) + one 2n-flop
-    normalization — all VPU lane work; HBM traffic per iteration is
-    ~(NN + 2n) * 4 / iters bytes, the power-iteration analog of
-    :func:`_solve_chain_kernel`."""
+    then the ``n`` unit-eigenvector rows.
+
+    Power iteration is scale-invariant, so the per-step normalization
+    only exists to keep the iterate in floating-point range — but its
+    dependent rsqrt + cross-row reduction serializes against the matvec
+    FMA stream and costs ~4x a pure-FMA chain step (measured round 3).
+    The kernel therefore renormalizes every ``renorm_every`` matvecs;
+    in between, steps are pure n^2-FMA chains. Range safety comes from
+    a one-time per-lane Gershgorin pre-scale ``A / max_i sum_j |a_ij|``:
+    the scaled spectrum lies in [-1, 1] with the dominant ``|λ| >=
+    1/sqrt(n)`` (``‖A‖₂ >= ‖A‖∞/sqrt(n)``), so over r <= 16 unnormalized
+    steps the dominant component shrinks by at most ``n^(r/2)`` —
+    within f32 range for any input scale (the final ``mu`` un-scales).
+    In exact arithmetic the result is identical to per-step
+    normalization; iterates whose dominant-eigenvector component is
+    below ~1e-30 of the start vector may flush to zero where per-step
+    renorm would survive (supply ``v0`` in that regime).
+    HBM traffic per iteration is ~(NN + 2n) * 4 / iters bytes, the
+    power-iteration analog of :func:`_solve_chain_kernel`."""
     E = _entries_rows(mat_ref, n)
+    r = max(1, min(int(renorm_every), 16))
+    n_out, rem = iters // r, iters % r
     if n <= 8:
+        # per-lane Gershgorin bound -> scale-invariant iteration
+        g = None
+        for i in range(n):
+            row = jnp.abs(E[i][0])
+            for j in range(1, n):
+                row = row + jnp.abs(E[i][j])
+            g = row if g is None else jnp.maximum(g, row)
+        inv_g = jnp.where(g > 0, 1.0 / jnp.where(g > 0, g, 1.0),
+                          jnp.zeros_like(g))
+        Es = [[E[i][j] * inv_g for j in range(n)] for i in range(n)]
+
         def mv(vs):
             out = []
             for i in range(n):
-                acc = E[i][0] * vs[0]
+                acc = Es[i][0] * vs[0]
                 for j in range(1, n):
-                    acc = acc + E[i][j] * vs[j]
+                    acc = acc + Es[i][j] * vs[j]
                 out.append(acc)
             return out
 
-        v = [vec_ref[j] for j in range(n)]
-        nrm2 = v[0] * v[0]
-        for i in range(1, n):
-            nrm2 = nrm2 + v[i] * v[i]
-        inv = _guarded_rsqrt(nrm2)
-        v0 = tuple(vi * inv for vi in v)
+        def renorm(vs):
+            nrm2 = vs[0] * vs[0]
+            for i in range(1, n):
+                nrm2 = nrm2 + vs[i] * vs[i]
+            s = _guarded_rsqrt(nrm2)
+            return tuple(vi * s for vi in vs)
+
+        v0 = renorm(tuple(vec_ref[j] for j in range(n)))
 
         def body(t, vs):
-            w = mv(list(vs))
-            w2 = w[0] * w[0]
-            for i in range(1, n):
-                w2 = w2 + w[i] * w[i]
-            s = _guarded_rsqrt(w2)
-            return tuple(wi * s for wi in w)
+            for _ in range(r):
+                vs = mv(list(vs))
+            return renorm(vs)
 
-        vs = jax.lax.fori_loop(0, iters, body, v0)
+        vs = jax.lax.fori_loop(0, n_out, body, v0)
+        for _ in range(rem):
+            vs = mv(list(vs))
+        vs = renorm(vs)
         w = mv(list(vs))
         mu = vs[0] * w[0]
         for i in range(1, n):
             mu = mu + vs[i] * w[i]
-        out_ref[0] = mu
+        out_ref[0] = mu * g  # un-scale the Rayleigh quotient
         for i in range(n):
             out_ref[1 + i] = vs[i]
         return
@@ -1020,24 +1049,35 @@ def _maxeig_kernel(n, iters, mat_ref, vec_ref, out_ref):
     lane = E[0][0].shape
     A = jnp.stack([E[i][j] for i in range(n) for j in range(n)],
                   axis=0).reshape((n, n) + lane)
-    v = jnp.stack([vec_ref[j] for j in range(n)], axis=0)
-    v = v * _guarded_rsqrt(jnp.sum(v * v, axis=0))[None]
+    g = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)
+    inv_g = jnp.where(g > 0, 1.0 / jnp.where(g > 0, g, 1.0),
+                      jnp.zeros_like(g))
+    As = A * inv_g[None, None]
+
+    def renorm_st(vs):
+        return vs * _guarded_rsqrt(jnp.sum(vs * vs, axis=0))[None]
+
+    v = renorm_st(jnp.stack([vec_ref[j] for j in range(n)], axis=0))
 
     def body_st(t, vs):
-        w = jnp.sum(A * vs[None, :], axis=1)
-        return w * _guarded_rsqrt(jnp.sum(w * w, axis=0))[None]
+        for _ in range(r):
+            vs = jnp.sum(As * vs[None, :], axis=1)
+        return renorm_st(vs)
 
-    vs = jax.lax.fori_loop(0, iters, body_st, v)
-    w = jnp.sum(A * vs[None, :], axis=1)
-    out_ref[0] = jnp.sum(vs * w, axis=0)
+    vs = jax.lax.fori_loop(0, n_out, body_st, v)
+    for _ in range(rem):
+        vs = jnp.sum(As * vs[None, :], axis=1)
+    vs = renorm_st(vs)
+    w = jnp.sum(As * vs[None, :], axis=1)
+    out_ref[0] = jnp.sum(vs * w, axis=0) * g
     for i in range(n):
         out_ref[1 + i] = vs[i]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _maxeig_cf(mat, vec, iters, block, interpret, bm):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _maxeig_cf(mat, vec, iters, block, interpret, bm, renorm_every):
     n = vec.shape[0]
-    kern = functools.partial(_maxeig_kernel, n, iters)
+    kern = functools.partial(_maxeig_kernel, n, iters, renorm_every)
     return _call_rows(kern, (mat, vec), n + 1, block, interpret,
                       diag_rows=n, bm=bm)
 
@@ -1069,11 +1109,15 @@ def _maxeig_replay(mat, vec, iters):
     return jnp.concatenate([mu[None], v], axis=0)
 
 
-def _maxeig_fwd(mat, vec, iters, block, interpret, bm):
-    return _maxeig_cf(mat, vec, iters, block, interpret, bm), (mat, vec)
+def _maxeig_fwd(mat, vec, iters, block, interpret, bm, renorm_every):
+    return (_maxeig_cf(mat, vec, iters, block, interpret, bm, renorm_every),
+            (mat, vec))
 
 
-def _maxeig_bwd(iters, block, interpret, bm, res, g):
+def _maxeig_bwd(iters, block, interpret, bm, renorm_every, res, g):
+    # the replay renormalizes every step — power iteration is
+    # scale-invariant, so the recurrences share the same limit and the
+    # VJP at convergence is the classical v v^T pullback either way
     mat, vec = res
     _, pull = jax.vjp(lambda m, v: _maxeig_replay(m, v, iters), mat, vec)
     return pull(g)
@@ -1089,19 +1133,27 @@ def sym_maxeig_cf(
     block: Optional[int] = None,
     interpret: Optional[bool] = None,
     bm: bool = False,
+    renorm_every: int = 8,
 ) -> jnp.ndarray:
     r"""Channel-first fused batched power iteration: returns
     ``(1 + N, ...)`` — row 0 the Rayleigh-quotient estimate of the
     dominant (largest-``|λ|``) eigenvalue, rows 1.. the unit
     eigenvector estimate.
 
-    One kernel launch runs all ``iters`` matvec+normalize steps with
-    the compact matrix block register-resident (the power-iteration
-    analog of :func:`sym_solve_chain_cf`). Extension op: the
-    reference's ``maxeig_power`` (reference ``stochastic.py:316-361``)
-    is a single-matrix while_loop re-launching one matvec per step.
+    One kernel launch runs all ``iters`` matvec steps with the compact
+    matrix block register-resident (the power-iteration analog of
+    :func:`sym_solve_chain_cf`). Extension op: the reference's
+    ``maxeig_power`` (reference ``stochastic.py:316-361``) is a
+    single-matrix while_loop re-launching one matvec per step.
     Convergence is ``O((λ2/λ1)^iters)`` — ``iters`` is a static knob,
     not a tolerance.
+
+    ``renorm_every`` (1..16, default 8): matvecs per normalization.
+    A one-time per-lane Gershgorin pre-scale makes the iteration safe
+    at any stride <= 16 (see :func:`_maxeig_kernel`); between renorms
+    the steps are pure FMA chains, removing the dependent rsqrt +
+    cross-row reduction that costs ~4x a chain step. ``renorm_every=1``
+    recovers textbook per-step normalization.
     """
     mat, vec, half = upcast_half(mat, vec)
     n = vec.shape[0]
@@ -1124,7 +1176,8 @@ def sym_maxeig_cf(
     mat = jnp.broadcast_to(mat.astype(dtype), (mat.shape[0], *batch_shape))
     vec = jnp.broadcast_to(vec.astype(dtype), (n, *batch_shape))
     out = _maxeig_cf(mat.reshape(mat.shape[0], -1), vec.reshape(n, -1),
-                     int(iters), block, bool(interpret), bool(bm))
+                     int(iters), block, bool(interpret), bool(bm),
+                     int(renorm_every))
     return _downcast(out.reshape(1 + n, *batch_shape), half)
 
 

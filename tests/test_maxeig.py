@@ -134,6 +134,32 @@ def test_validation():
         sym_maxeig(jnp.zeros((4, 6)), v0=jnp.zeros((4,)))  # N=3 != 4
 
 
+@pytest.mark.parametrize("n", [3, 8, 12])
+@pytest.mark.parametrize("renorm", [1, 5, 16])
+def test_renorm_stride_parity(n, renorm, rng):
+    """Power iteration is scale-invariant: any renormalization stride
+    converges to the same eigenpair (the kernel's Gershgorin pre-scale
+    keeps intermediate iterates in range)."""
+    _, compact, dom = gapped_sym(rng, 100, n)
+    mu = sym_maxeig(jnp.asarray(compact), iters=120, backend="pallas",
+                    renorm_every=renorm)
+    np.testing.assert_allclose(np.asarray(mu), dom, rtol=1e-10)
+
+
+@pytest.mark.parametrize("scale", [1e30, 1e-30])
+def test_renorm_extreme_scale_f32(scale, rng):
+    """f32 range safety of the strided renormalization: without the
+    per-lane Gershgorin pre-scale, 8 unnormalized matvecs at
+    ||A|| ~ 1e30 would overflow f32 (1e240 >> 3e38); with it the
+    iteration is scale-free."""
+    _, compact, dom = gapped_sym(rng, 50, 4)
+    m = jnp.asarray(compact * scale, jnp.float32)
+    mu = sym_maxeig(m, iters=40, backend="pallas", renorm_every=8)
+    assert np.isfinite(np.asarray(mu)).all()
+    np.testing.assert_allclose(np.asarray(mu, np.float64), dom * scale,
+                               rtol=2e-5)
+
+
 class TestMatvecChain:
     """sym_matvec_chain — fused Richardson/Neumann iteration."""
 
