@@ -536,6 +536,15 @@ def main():
             record(f"sym_maxeig {n_me}x{n_me} (fused, iters={ITERS})", BIG,
                    "f32", BIG, dt, med, p99, "eig/s",
                    bytes_per_item=(nn_me + n_me + 1) * 4)
+            # per-step renormalization (renorm_every=1): isolates the
+            # serializing rsqrt + cross-row reduction the strided
+            # default (8) amortizes
+            f1 = jax.jit(lambda m: F.sym_maxeig(m, iters=ITERS,
+                                                renorm_every=1))
+            dt1 = honest_time(f1, mj)
+            record(f"sym_maxeig {n_me}x{n_me} (renorm_every=1)", BIG,
+                   "f32", BIG, dt1, med, p99, "eig/s",
+                   bytes_per_item=(nn_me + n_me + 1) * 4)
             # the same recurrence as a lax.scan of XLA matvecs
             fx = jax.jit(lambda m: F.sym_maxeig(m, iters=ITERS,
                                                 backend="xla"))
@@ -613,6 +622,28 @@ def main():
         record("logm+expm 4x4 sustained (chain k=4)", BIG, "f32", BIG,
                2 * dt, med, p99, "logm/s", bytes_per_item=2 * 16 * 4)
         del Xj, Ej
+        # larger-d register tiers: 8x8 (in-register PLU inverse) and
+        # 16x16 (rolled stacked-grid) — batch scaled down so the
+        # working set stays ~BIG*64 B
+        for d_l, b_l in ((8, BIG // 4), (16, BIG // 16)):
+            Xl = (rng.standard_normal((b_l, d_l, d_l)).astype(np.float32)
+                  * (0.5 / np.sqrt(d_l)))
+            Xlj = jax.device_put(jnp.asarray(Xl))
+            f = jax.jit(L.expm)
+            dt = honest_time(f, Xlj, calls=8)
+            want = np.stack([sla.expm(np.asarray(m, np.float64))
+                             for m in Xl[:256]])
+            med, p99 = rel_err(np.asarray(f(Xlj[:256])), want)
+            record(f"expm {d_l}x{d_l}", b_l, "f32", b_l, dt, med, p99,
+                   "expm/s", bytes_per_item=2 * d_l * d_l * 4)
+            Elj = f(Xlj)
+            f = jax.jit(L.logm)
+            dt = honest_time(f, Elj, calls=8)
+            med, p99 = rel_err(np.asarray(f(Elj[:8192])),
+                               np.asarray(Xlj[:8192], np.float64))
+            record(f"logm {d_l}x{d_l}", b_l, "f32", b_l, dt, med, p99,
+                   "logm/s", bytes_per_item=2 * d_l * d_l * 4)
+            del Xlj, Elj
         # meanm: the reference's worst device-boundary case (SURVEY
         # 3.4 — its logm is a per-matrix scipy loop on CPU, so meanm
         # round-trips K matrices every iteration). Here the whole

@@ -26,6 +26,7 @@ from .sym_pallas import DEFAULT_BLOCK, _call_rows, _interpret_default
 __all__ = ["expm_cf"]
 
 _MAX_D = 8
+_MAX_D_ROLLED = 16
 _SQUARINGS_MAX = 20
 _ORDER_F32 = 9
 _ORDER_F64 = 16
@@ -43,6 +44,70 @@ def _mm_grid(A, B, d):
         ]
         for i in range(d)
     ]
+
+
+def _mm_st(A, B, d):
+    """Stacked-grid matmul ``C[i, j] = sum_k A[i, k] B[k, j]`` on
+    ``(d, d, *lane)`` arrays: a static unroll of d rank-1 updates, each
+    a full-grid FMA of broadcast column x row (the same
+    static-leading-axis slicing + broadcast idiom as the rolled
+    PLU/maxeig kernels — Mosaic has no dynamic indexing, and a
+    one-shot ``(d, d, d, *lane)`` contraction would blow scoped VMEM
+    at d = 16)."""
+    shape = (d, d) + A.shape[2:]
+    C = None
+    for k in range(d):
+        term = (jnp.broadcast_to(A[:, k][:, None], shape)
+                * jnp.broadcast_to(B[k][None, :], shape))
+        C = term if C is None else C + term
+    return C
+
+
+def _eye_st(d, lane, dt):
+    ri = jax.lax.broadcasted_iota(jnp.int32, (d, d) + (1,) * len(lane), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (d, d) + (1,) * len(lane), 1)
+    return jnp.broadcast_to((ri == ci).astype(dt), (d, d) + lane)
+
+
+def _expm_rolled_kernel(d, order, mat_ref, out_ref):
+    """Rolled (stacked-grid) scaling-and-squaring for 9 <= d <= 16:
+    the same algebra as :func:`_expm_kernel` on a ``(d, d, *lane)``
+    carry — O(d) traced ops per Horner step instead of the O(d^3)
+    per-entry register ops the unrolled form would need (minutes of
+    Mosaic compile at d = 16)."""
+    lane = mat_ref[0].shape
+    dt = mat_ref[0].dtype
+    A = jnp.stack([mat_ref[r] for r in range(d * d)],
+                  axis=0).reshape((d, d) + lane)
+    eye = _eye_st(d, lane, dt)
+
+    # 1-norm (max abs column sum) per lane -> squaring depth
+    norm = jnp.max(jnp.sum(jnp.abs(A), axis=0), axis=0)
+    s = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.5)), 0,
+        _SQUARINGS_MAX
+    )
+    Y = A * jnp.exp2(-s)[None, None]
+
+    R = eye + Y / order
+    for m in range(order - 1, 0, -1):
+        R = eye + _mm_st(Y, R, d) / m
+
+    s_max = jnp.max(s)
+
+    def cond(carry):
+        return carry[1] < s_max
+
+    def body(carry):
+        G, it = carry
+        Sq = _mm_st(G, G, d)
+        active = (it < s)[None, None]
+        return jnp.where(active, Sq, G), it + 1
+
+    G, _ = jax.lax.while_loop(cond, body, (R, jnp.zeros((), s.dtype)))
+    for i in range(d):
+        for j in range(d):
+            out_ref[i * d + j] = G[i, j]
 
 
 def _expm_kernel(d, order, mat_ref, out_ref):
@@ -104,7 +169,8 @@ def _expm_kernel(d, order, mat_ref, out_ref):
 def _expm_cf(mat, block, interpret):
     d = int(round(np.sqrt(mat.shape[0])))
     order = _ORDER_F64 if jnp.finfo(mat.dtype).eps < 1e-10 else _ORDER_F32
-    kern = functools.partial(_expm_kernel, d, order)
+    kern = functools.partial(
+        _expm_kernel if d <= _MAX_D else _expm_rolled_kernel, d, order)
     return _call_rows(kern, (mat,), mat.shape[0], block, interpret)
 
 
@@ -114,10 +180,11 @@ def _expm_cf_fwd(mat, block, interpret):
 
 def _expm_cf_bwd(block, interpret, mat, g):
     # VJP via the Mathias block trick: L_exp(X^T)[G] is the top-right
-    # block of expm([[X^T, G], [0, X^T]]). For d <= 4 the 2d x 2d
-    # block still fits this kernel, so the backward pass stays a
-    # one-memory-pass register kernel too; beyond that it falls back
-    # to the XLA scaling-and-squaring expm.
+    # block of expm([[X^T, G], [0, X^T]]). For d <= 8 the 2d x 2d
+    # block still fits a kernel tier (unrolled to 2d = 8, rolled to
+    # 2d = 16), so the backward pass stays a one-memory-pass register
+    # kernel too; beyond that it falls back to the XLA
+    # scaling-and-squaring expm.
     d = int(round(np.sqrt(mat.shape[0])))
     # channel-first (d*d, B) -> batch-last (B, d, d)
     X = jnp.moveaxis(mat, 0, -1).reshape(*mat.shape[1:], d, d)
@@ -126,11 +193,12 @@ def _expm_cf_bwd(block, interpret, mat, g):
     top = jnp.concatenate([Xt, G], axis=-1)
     bot = jnp.concatenate([jnp.zeros_like(Xt), Xt], axis=-1)
     blk_full = jnp.concatenate([top, bot], axis=-2)
-    if 2 * d <= _MAX_D:
+    if 2 * d <= _MAX_D_ROLLED:
+        blk_block = min(block, 2048 if 2 * d <= _MAX_D else 1024)
         cf = jnp.moveaxis(
             blk_full.reshape(*blk_full.shape[:-2], 4 * d * d), 0, -1
         ).reshape(4 * d * d, -1)
-        blk_cf = _expm_cf(cf, min(block, 2048), interpret)
+        blk_cf = _expm_cf(cf, blk_block, interpret)
         blk = jnp.moveaxis(blk_cf, 0, -1).reshape(blk_full.shape)
     else:
         from ..ops.lie import _expm_core
@@ -149,29 +217,34 @@ def expm_cf(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Channel-first batched matrix exponential ``(d*d, ...) ->
-    (d*d, ...)`` (Pallas; row-major channels, d <= 8).
+    (d*d, ...)`` (Pallas; row-major channels, d <= 16).
 
     Scaling-and-squaring with a fixed-order Taylor-Horner core and
     per-lane masked squaring depth, entirely in registers — one memory
     pass per batch. Differentiable (Mathias block-matrix VJP).
-    SoA tier of :func:`fastmath_tpu.ops.lie.expm` (reference
+    d <= 8 unrolls the register grid per entry; 9 <= d <= 16 runs the
+    same algebra rolled on stacked ``(d, d, *lane)`` grids
+    (:func:`_expm_rolled_kernel` — O(1) Mosaic ops in d per Horner
+    term). SoA tier of :func:`fastmath_tpu.ops.lie.expm` (reference
     ``_impl/expm.py:15-49``).
 
     VMEM note: the kernel keeps ~5 live d x d register grids, so its
     per-block footprint is ~5 x d^2 x block x 4 B on top of the
     double-buffered IO; ``block`` > 8192 OOMs the 16 MB scoped VMEM at
     d = 4 (unlike the leaner solve kernels, which take 32768) and the
-    default shrinks to 2048 at 5 <= d <= 8.
+    default shrinks to 2048 at 5 <= d <= 8 and 1024 for the rolled
+    tier (the stacked-grid minimum: block/128 sublanes must be a
+    multiple of 8).
     """
     mat = jnp.asarray(mat)
     d = int(round(np.sqrt(mat.shape[0])))
-    if d * d != mat.shape[0] or d > _MAX_D:
+    if d * d != mat.shape[0] or d > _MAX_D_ROLLED:
         raise ValueError(
-            f"expm_cf expects (d*d, ...) rows with d <= {_MAX_D}; "
+            f"expm_cf expects (d*d, ...) rows with d <= {_MAX_D_ROLLED}; "
             f"got {mat.shape[0]} channels"
         )
     if block is None:
-        block = DEFAULT_BLOCK if d <= 4 else 2048
+        block = DEFAULT_BLOCK if d <= 4 else (2048 if d <= 8 else 1024)
     if not jnp.issubdtype(mat.dtype, jnp.floating):
         mat = mat.astype(jnp.result_type(float))
     if interpret is None:

@@ -22,11 +22,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sym import _det_expand
-from .sym_pallas import _call_rows, _interpret_default, _plu_grid_solve
+from .expm_pallas import _eye_st, _mm_st
+from .sym_pallas import (
+    _call_rows,
+    _interpret_default,
+    _plu_grid_solve,
+    _plu_rolled,
+    _plu_rolled_backsub,
+)
 
 __all__ = ["logm_cf"]
 
 _MAX_D = 8
+_MAX_D_ROLLED = 16
 _ISS_MAX = 12
 #: matches ops.lie._DB_ITERS: near-cut (but off-cut) eigenvalues need
 #: ~log2(1/dist) iterations of the unscaled product-form iteration;
@@ -218,31 +226,117 @@ def _logm_kernel(d, order, db_tol, mat_ref, out_ref):
             out_ref[i * d + j] = L[i][j] * scale
 
 
+def _logm_rolled_kernel(d, order, db_tol, mat_ref, out_ref):
+    """Rolled (stacked-grid) inverse scaling-and-squaring for
+    9 <= d <= 16: the same algebra as :func:`_logm_kernel` on
+    ``(d, d, *lane)`` carries, with the register-grid inverses done by
+    the rolled one-hot PLU (:func:`..kernels.sym_pallas._plu_rolled`)
+    against an identity RHS — O(1) traced ops in d, where the unrolled
+    form would need ~d^3 per matmul (minutes of Mosaic compile at
+    d = 16)."""
+    lane = mat_ref[0].shape
+    dt = mat_ref[0].dtype
+    A0 = jnp.stack([mat_ref[r] for r in range(d * d)],
+                   axis=0).reshape((d, d) + lane)
+    eye = _eye_st(d, lane, dt)
+
+    def dist2(G):
+        return jnp.sum((G - eye) ** 2, axis=(0, 1))
+
+    def any_active(d2, tol2):
+        return jnp.any(jnp.where(jnp.isfinite(d2), d2, 0.0) > tol2)
+
+    def inv_st(M):
+        U, R, _ = _plu_rolled(M, eye)
+        return _plu_rolled_backsub(U, R)
+
+    def sqrt_db(G):
+        # product-form Denman-Beavers, unscaled (divergence = the
+        # branch-cut signal) — see _logm_kernel for the rationale
+        def cond(carry):
+            return (carry[2] < _DB_ITERS) & any_active(
+                dist2(carry[0]), db_tol * db_tol
+            )
+
+        def body(carry):
+            M, Y, it = carry
+            Minv = inv_st(M)
+            T = M + eye
+            Yn = 0.5 * _mm_st(_mm_st(Y, Minv, d), T, d)
+            Mn = 0.25 * _mm_st(Minv, _mm_st(T, T, d), d)
+            return Mn, Yn, it + 1
+
+        Mf, Yf, _ = jax.lax.while_loop(cond, body, (G, G, jnp.asarray(0)))
+        d2 = dist2(Mf)
+        conv = (jnp.isfinite(d2) & (d2 <= (8 * db_tol) ** 2))[None, None]
+        return jnp.where(conv, Yf, jnp.nan)
+
+    def iss_cond(carry):
+        return (carry[3] < _ISS_MAX) & any_active(
+            dist2(carry[0]), _THRESH * _THRESH
+        )
+
+    def iss_body(carry):
+        Af, Df, k, it = carry
+        d2 = dist2(Af)
+        need = jnp.isfinite(d2) & (d2 > _THRESH * _THRESH)
+        As = sqrt_db(Af)
+        # cancellation-free A - I tracking (Al-Mohy & Higham 2012):
+        # D_k = D_{k-1} (A_k + I)^{-1}
+        Ds = _mm_st(Df, inv_st(As + eye), d)
+        nb = need[None, None]
+        return (jnp.where(nb, As, Af), jnp.where(nb, Ds, Df),
+                k + need.astype(k.dtype), it + 1)
+
+    k0 = jnp.zeros(lane, dt)
+    A, Am, k, _ = jax.lax.while_loop(
+        iss_cond, iss_body, (A0, A0 - eye, k0, jnp.asarray(0)))
+    d2 = dist2(A)
+    bad = ~(jnp.isfinite(d2) & (d2 <= _THRESH * _THRESH))
+
+    # log(A) = 2 atanh(Z), Z = (A - I)(A + I)^{-1}; Gregory series
+    Z = _mm_st(Am, inv_st(A + eye), d)
+    Z2 = _mm_st(Z, Z, d)
+    acc = eye / order
+    for m in range(order - 2, 0, -2):
+        acc = eye / m + _mm_st(Z2, acc, d)
+    L = _mm_st(Z, acc, d)
+    scale = jnp.where(bad, jnp.nan, 2.0 * jnp.exp2(k))[None, None]
+    L = L * scale
+    for i in range(d):
+        for j in range(d):
+            out_ref[i * d + j] = L[i, j]
+
+
 def logm_cf(
     mat: jnp.ndarray,
     block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Channel-first batched matrix logarithm ``(d*d, ...) ->
-    (d*d, ...)`` (Pallas; row-major channels, real d <= 8).
+    (d*d, ...)`` (Pallas; row-major channels, real d <= 16).
 
     One-memory-pass inverse scaling-and-squaring (see module
-    docstring). Forward-only — for gradients use
+    docstring); d <= 8 unrolls the register grid per entry,
+    9 <= d <= 16 runs the same algebra rolled on stacked
+    ``(d, d, *lane)`` grids with rolled-PLU inverses
+    (:func:`_logm_rolled_kernel`). Forward-only — for gradients use
     :func:`fastmath_tpu.ops.lie.logm`, whose Mathias VJP wraps this
     kernel's forward on TPU. Real inputs whose principal log is
     complex yield NaNs (same divergence contract as ``lie.logm``).
     """
     mat = jnp.asarray(mat)
     d = int(round(np.sqrt(mat.shape[0])))
-    if d * d != mat.shape[0] or d > _MAX_D:
+    if d * d != mat.shape[0] or d > _MAX_D_ROLLED:
         raise ValueError(
-            f"logm_cf expects (d*d, ...) rows with d <= {_MAX_D}; "
+            f"logm_cf expects (d*d, ...) rows with d <= {_MAX_D_ROLLED}; "
             f"got {mat.shape[0]} channels"
         )
     if block is None:
         # ~9 live d x d register grids (A, D, M, Y, inverse scratch,
         # Gregory accumulators): shrink the lane block as d grows
-        block = 8192 if d <= 4 else 2048
+        # (1024 is the stacked-grid minimum for the rolled tier)
+        block = 8192 if d <= 4 else (2048 if d <= 8 else 1024)
     if not jnp.issubdtype(mat.dtype, jnp.floating):
         mat = mat.astype(jnp.result_type(float))
     if interpret is None:
@@ -251,7 +345,9 @@ def logm_cf(
     db_tol = float(jnp.finfo(mat.dtype).eps) * 8 * d
     batch_shape = mat.shape[1:]
     m2 = mat.reshape(mat.shape[0], -1)
-    kern = functools.partial(_logm_kernel, d, order, db_tol)
+    kern = functools.partial(
+        _logm_kernel if d <= _MAX_D else _logm_rolled_kernel,
+        d, order, db_tol)
     out = _call_rows(kern, (m2,), mat.shape[0], block, bool(interpret),
                      diag_rows=tuple(i * d + i for i in range(d)))
     return out.reshape(mat.shape[0], *batch_shape)

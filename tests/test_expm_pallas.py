@@ -27,6 +27,39 @@ def test_vs_scipy(d, rng):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.parametrize("d", [9, 12, 16])
+def test_rolled_tier_vs_scipy(d, rng):
+    """9 <= d <= 16 routes the stacked-grid rolled kernel
+    (_expm_rolled_kernel): same scaling-and-squaring algebra, O(d)
+    traced ops per Horner step."""
+    X, cf = rand_cf(rng, 8, d, scale=0.5 / np.sqrt(d))
+    got = np.asarray(expm_cf(jnp.asarray(cf), block=128)).T.reshape(-1, d, d)
+    want = np.stack([sla.expm(m) for m in X])
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
+
+
+def test_rolled_deep_squaring(rng):
+    X, cf = rand_cf(rng, 4, 12, scale=6.0)
+    got = np.asarray(expm_cf(jnp.asarray(cf), block=128)).T.reshape(-1, 12, 12)
+    want = np.stack([sla.expm(m) for m in X])
+    r = np.abs(got - want).max() / np.abs(want).max()
+    assert r < 1e-11
+
+
+def test_rolled_public_dispatch_and_grad(rng):
+    X, _ = rand_cf(rng, 4, 12, scale=0.2)
+    Xj = jnp.asarray(X)
+    got = np.asarray(expm_public(Xj, backend="pallas"))
+    want = np.stack([sla.expm(m) for m in X])
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
+    # backward: 2d = 24 > 16 exceeds the rolled tier -> XLA Mathias block
+    co = jnp.asarray(rng.standard_normal(X.shape))
+    gp = jax.grad(lambda x: jnp.sum(co * expm_public(x, backend="pallas")))(Xj)
+    gx = jax.grad(lambda x: jnp.sum(co * expm_public(x, backend="xla")))(Xj)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-8, atol=1e-10)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="d=8 interpret-mode eager loops cost minutes "
                            "on CPU; Mosaic-compiled path is fast")
@@ -72,7 +105,7 @@ def test_public_dispatch(rng):
     with pytest.raises(ValueError):
         expm_public(Xj, backend="nope")
     with pytest.raises(ValueError):
-        expm_public(jnp.asarray(np.zeros((2, 9, 9))), backend="pallas")
+        expm_public(jnp.asarray(np.zeros((2, 17, 17))), backend="pallas")
 
 
 def test_grad_mathias_vs_xla(rng):
@@ -92,8 +125,8 @@ def test_grad_mathias_vs_xla(rng):
 @pytest.mark.parametrize("d", [4, 6])
 def test_grad_large_d(d, rng):
     """Backward coverage at the tier boundaries: d = 4 keeps the
-    Mathias 2d x 2d block inside the kernel (2d = 8), d = 6 exceeds it
-    and falls back to the XLA expm for the block."""
+    Mathias 2d x 2d block in the unrolled kernel (2d = 8), d = 6
+    routes the block through the rolled stacked-grid tier (2d = 12)."""
     X, _ = rand_cf(rng, 8, d, scale=0.4)
     Xj = jnp.asarray(X)
     co = jnp.asarray(rng.standard_normal(X.shape))
@@ -134,6 +167,36 @@ class TestLogmPallas:
         got = np.asarray(logm_cf(cf, block=128)).T.reshape(-1, 4, 4)
         want = np.stack([np.real(sla.logm(m)) for m in spd])
         np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
+
+    @pytest.mark.parametrize("d", [9, 12])
+    def test_rolled_roundtrip(self, d, rng):
+        """9 <= d <= 16 routes the stacked-grid rolled kernel with
+        rolled-PLU register inverses (_logm_rolled_kernel); d = 16 is
+        the same code path (TPU smoke set covers it — each rolled-PLU
+        inverse is eager-looped in interpret mode)."""
+        from fastmath_tpu.kernels.logm_pallas import logm_cf
+
+        X = rng.standard_normal((6, d, d)) * (0.4 / np.sqrt(d))
+        E = np.stack([sla.expm(m) for m in X])
+        cf = jnp.asarray(np.ascontiguousarray(E.reshape(-1, d * d).T))
+        got = np.asarray(logm_cf(cf, block=128)).T.reshape(-1, d, d)
+        np.testing.assert_allclose(got, X, rtol=1e-8, atol=1e-10)
+
+    def test_rolled_branch_cut_isolation(self, rng):
+        """An on-cut lane NaNs (the reroute signal) without touching
+        its blockmates — the rolled tier's convergence masks are
+        per-lane like the unrolled tier's."""
+        from fastmath_tpu.kernels.logm_pallas import logm_cf
+
+        d = 10
+        X = rng.standard_normal((3, d, d)) * 0.2
+        E = np.stack([sla.expm(m) for m in X])
+        E[1] = np.diag(np.concatenate([[-1.0], np.ones(d - 1)]))
+        cf = jnp.asarray(np.ascontiguousarray(E.reshape(-1, d * d).T))
+        got = np.asarray(logm_cf(cf, block=128)).T.reshape(-1, d, d)
+        assert np.isnan(got[1]).all()
+        assert np.isfinite(got[0]).all() and np.isfinite(got[2]).all()
+        np.testing.assert_allclose(got[::2], X[::2], rtol=1e-8, atol=1e-10)
 
     def test_matches_xla_impl(self, rng):
         from fastmath_tpu.kernels.logm_pallas import logm_cf

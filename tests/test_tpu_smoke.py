@@ -108,12 +108,13 @@ def test_smoke_eig16_pallas(rng):
     assert np.abs(w - ww).max() / np.abs(ww).max() < 1e-5
 
 
-@pytest.mark.parametrize("d", [4, 8])
+@pytest.mark.parametrize("d", [4, 8, 16])
 def test_smoke_expm_logm_pallas(rng, d):
-    # d = 4: adjugate register-inverse tier; d = 8: in-kernel PLU tier
-    # (d >= 6 logm is TPU-only coverage — interpret mode costs minutes)
+    # d = 4: adjugate register-inverse tier; d = 8: in-kernel PLU tier;
+    # d = 16: rolled stacked-grid tier (d >= 6 logm is TPU-only
+    # coverage — interpret mode costs minutes)
     if d > 4 and jax.default_backend() != "tpu":
-        pytest.skip("d=8 eager interpret loops cost minutes on CPU")
+        pytest.skip("d>=6 eager interpret loops cost minutes on CPU")
     X = (rng.standard_normal((_B, d, d)) * 0.4).astype(np.float32)
     # on TPU these route through the expm/logm register kernels
     E = L.expm(jnp.asarray(X))
