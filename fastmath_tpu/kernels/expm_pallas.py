@@ -194,7 +194,14 @@ def _expm_cf_bwd(block, interpret, mat, g):
     bot = jnp.concatenate([jnp.zeros_like(Xt), Xt], axis=-1)
     blk_full = jnp.concatenate([top, bot], axis=-2)
     if 2 * d <= _MAX_D_ROLLED:
-        blk_block = min(block, 2048 if 2 * d <= _MAX_D else 1024)
+        if 2 * d <= _MAX_D:
+            blk_block = min(block, 2048)
+        elif interpret:
+            blk_block = min(block, 1024)
+        else:
+            # rolled-tier block on real TPU: exactly the sublane-legal
+            # 1024 (a caller's smaller forward block must not leak in)
+            blk_block = 1024
         cf = jnp.moveaxis(
             blk_full.reshape(*blk_full.shape[:-2], 4 * d * d), 0, -1
         ).reshape(4 * d * d, -1)
@@ -249,6 +256,10 @@ def expm_cf(
         mat = mat.astype(jnp.result_type(float))
     if interpret is None:
         interpret = _interpret_default()
+    if d > _MAX_D and not interpret:
+        # stacked-grid sublane rule: block/128 must be a multiple of 8
+        # on real TPU (interpret mode has no such constraint)
+        block = max(1024, (block // 1024) * 1024)
     batch_shape = mat.shape[1:]
     out = _expm_cf(mat.reshape(mat.shape[0], -1), block, bool(interpret))
     return out.reshape(mat.shape[0], *batch_shape)

@@ -341,6 +341,10 @@ def logm_cf(
         mat = mat.astype(jnp.result_type(float))
     if interpret is None:
         interpret = _interpret_default()
+    if d > _MAX_D and not interpret:
+        # stacked-grid sublane rule: block/128 must be a multiple of 8
+        # on real TPU (interpret mode has no such constraint)
+        block = max(1024, (block // 1024) * 1024)
     order = 21 if jnp.finfo(mat.dtype).eps < 1e-10 else 9
     db_tol = float(jnp.finfo(mat.dtype).eps) * 8 * d
     batch_shape = mat.shape[1:]

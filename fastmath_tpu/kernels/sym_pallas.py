@@ -996,7 +996,7 @@ def _maxeig_kernel(n, iters, renorm_every, mat_ref, vec_ref, out_ref):
     HBM traffic per iteration is ~(NN + 2n) * 4 / iters bytes, the
     power-iteration analog of :func:`_solve_chain_kernel`."""
     E = _entries_rows(mat_ref, n)
-    r = max(1, min(int(renorm_every), 16))
+    r = int(renorm_every)  # validated 1..16 by the wrapper
     n_out, rem = iters // r, iters % r
     if n <= 8:
         # per-lane Gershgorin bound -> scale-invariant iteration
@@ -1084,16 +1084,38 @@ def _maxeig_cf(mat, vec, iters, block, interpret, bm, renorm_every):
 
 def _maxeig_replay(mat, vec, iters):
     """The kernel recurrence as differentiable channel-first XLA ops
-    (VJP replay; also the reference implementation the tests oracle)."""
+    (VJP replay; also the reference implementation the tests oracle).
+
+    Pre-scales by the per-lane Gershgorin bound like the kernel: an
+    unscaled matvec at ``||A|| >~ 1e19`` overflows the f32 norm^2 and
+    `_guarded_rsqrt(inf) = 0` silently zeroes the iterate — the primal
+    kernel is range-safe, so the replay (and hence the VJP) must be
+    too. The scale's own derivative terms cancel identically (the
+    dominant eigenvalue is 1-homogeneous in A, so the dg terms of
+    ``mu = g * rayleigh(A / g)`` vanish), hence ``stop_gradient(g)``
+    yields the exact pullback — and avoids the f32 overflow of the
+    huge intermediate cotangent the naive chain rule routes through
+    ``1/g`` at extreme input scales."""
     n = vec.shape[0]
+    g = None
+    for i in range(n):
+        row = jnp.abs(mat[i])
+        for j in range(n):
+            if j != i:
+                row = row + jnp.abs(mat[tri_index(i, j, n)])
+        g = row if g is None else jnp.maximum(g, row)
+    g = jax.lax.stop_gradient(g)
+    inv_g = jnp.where(g > 0, 1.0 / jnp.where(g > 0, g, 1.0),
+                      jnp.zeros_like(g))
+    ms = mat * inv_g
 
     def mv(v):
         rows = []
         for i in range(n):
-            acc = mat[i] * v[i]
+            acc = ms[i] * v[i]
             for j in range(n):
                 if j != i:
-                    acc = acc + mat[tri_index(i, j, n)] * v[j]
+                    acc = acc + ms[tri_index(i, j, n)] * v[j]
             rows.append(acc)
         return jnp.stack(rows, axis=0)
 
@@ -1105,7 +1127,7 @@ def _maxeig_replay(mat, vec, iters):
 
     v, _ = jax.lax.scan(body, v, None, length=iters)
     w = mv(v)
-    mu = jnp.sum(v * w, axis=0)
+    mu = jnp.sum(v * w, axis=0) * g
     return jnp.concatenate([mu[None], v], axis=0)
 
 
@@ -1167,6 +1189,11 @@ def sym_maxeig_cf(
             f"pallas sym_maxeig_cf implements N <= {MAX_N_ROLLED}")
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    if not 1 <= int(renorm_every) <= 16:
+        # > 16 unnormalized steps can leave f32 range even under the
+        # Gershgorin pre-scale (dominant |λ| >= 1/sqrt(n) only bounds
+        # the shrink to n^(r/2))
+        raise ValueError("renorm_every must be in 1..16")
     if block is None:
         block = 8192 if n <= 4 else (4096 if n <= 8 else 1024)
     if interpret is None:

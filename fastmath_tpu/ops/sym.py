@@ -563,6 +563,8 @@ def sym_maxeig(
 
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    if not 1 <= int(renorm_every) <= 16:
+        raise ValueError("renorm_every must be in 1..16")
     mat, half = upcast_half(mat)
     nn = mat.shape[-1]
     n = sym_dim(nn)
@@ -597,21 +599,31 @@ def sym_maxeig(
         return (mu, v) if return_vector else mu
 
     # XLA fallback: layout-general via sym_matvec (serves diagonal /
-    # scaled-identity / full storage and every N)
+    # scaled-identity / full storage and every N). Pre-scale by the
+    # per-lane max |entry| (layout-general) so a single matvec's norm^2
+    # cannot overflow f32 at any input scale (the per-step
+    # normalization handles the rest). The scale's own derivative
+    # terms cancel identically (the dominant eigenvalue is
+    # 1-homogeneous), so stop_gradient(g) yields the exact pullback —
+    # and avoids the f32 overflow of the huge intermediate cotangent
+    # S(mat)*g that the naive chain rule routes through 1/g.
     def _norm(v):
         nrm2 = jnp.sum(v * v, axis=-1, keepdims=True)
         inv = jnp.where(nrm2 > 0,
                         _jax.lax.rsqrt(jnp.where(nrm2 > 0, nrm2, 1.0)), 0.0)
         return v * inv
 
+    g = _jax.lax.stop_gradient(jnp.max(jnp.abs(mat), axis=-1))
+    ms = mat * jnp.where(g > 0, 1.0 / jnp.where(g > 0, g, 1.0),
+                         jnp.zeros_like(g))[..., None]
     batch_shape = np.broadcast_shapes(mat.shape[:-1], v0.shape[:-1])
     v = _norm(jnp.broadcast_to(v0, batch_shape + (n,)))
 
     def body(v, _):
-        return _norm(sym_matvec(mat, v, backend="xla")), ()
+        return _norm(sym_matvec(ms, v, backend="xla")), ()
 
     v, _ = _jax.lax.scan(body, v, None, length=iters)
-    mu = jnp.sum(v * sym_matvec(mat, v, backend="xla"), axis=-1)
+    mu = jnp.sum(v * sym_matvec(ms, v, backend="xla"), axis=-1) * g
     mu, v = _downcast(mu, half), _downcast(v, half)
     return (mu, v) if return_vector else mu
 

@@ -132,6 +132,9 @@ def test_validation():
         sym_maxeig(jnp.zeros((4, 6)), iters=-1)
     with pytest.raises(ValueError):
         sym_maxeig(jnp.zeros((4, 6)), v0=jnp.zeros((4,)))  # N=3 != 4
+    for bad in (0, 17, -3):
+        with pytest.raises(ValueError):
+            sym_maxeig(jnp.zeros((4, 6)), renorm_every=bad)
 
 
 @pytest.mark.parametrize("n", [3, 8, 12])
@@ -158,6 +161,28 @@ def test_renorm_extreme_scale_f32(scale, rng):
     assert np.isfinite(np.asarray(mu)).all()
     np.testing.assert_allclose(np.asarray(mu, np.float64), dom * scale,
                                rtol=2e-5)
+
+
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+def test_extreme_scale_grad_f32(backend, rng):
+    """Both paths (kernel + VJP replay, and the XLA fallback) must
+    pre-scale: an unscaled f32 matvec at ||A|| ~ 1e25 overflows the
+    norm^2 and `_guarded_rsqrt(inf) = 0` silently zeroes the iterate —
+    value AND gradient must stay finite and scale like the input."""
+    _, compact, dom = gapped_sym(rng, 20, 3)
+    scale = 1e25
+    m = jnp.asarray(compact * scale, jnp.float32)
+    mu, v = sym_maxeig(m, iters=40, backend=backend, return_vector=True)
+    assert np.isfinite(np.asarray(mu)).all()
+    np.testing.assert_allclose(np.asarray(mu, np.float64), dom * scale,
+                               rtol=2e-5)
+    g = jax.grad(lambda m: jnp.sum(sym_maxeig(m, iters=40,
+                                              backend=backend)))(m)
+    g = np.asarray(g, np.float64)
+    assert np.isfinite(g).all() and (np.abs(g).max(axis=-1) > 0.1).all()
+    # at convergence dmu/dA = v v^T, scale-free: diag entries = v_i^2
+    v = np.asarray(v, np.float64)
+    np.testing.assert_allclose(g[:, :3], v ** 2, rtol=1e-3, atol=1e-4)
 
 
 class TestMatvecChain:

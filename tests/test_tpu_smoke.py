@@ -121,6 +121,17 @@ def test_smoke_expm_logm_pallas(rng, d):
     back = np.asarray(L.logm(E))
     rel = np.abs(back - X) / (np.abs(X) + 1e-30)
     assert np.median(rel) < 1e-5 and np.quantile(rel, 0.99) < 5e-4
+    # drive the logm KERNEL directly too: the public op's exceptional
+    # rescue recomputes NaN'd lanes on the XLA path, which would mask a
+    # broken Mosaic lowering of the kernel tier (off-cut inputs here
+    # must come back finite from the kernel itself)
+    from fastmath_tpu.kernels.logm_pallas import logm_cf
+
+    cf = jnp.moveaxis(jnp.reshape(E, (-1, d * d)), 0, -1)
+    kb = np.asarray(jnp.moveaxis(logm_cf(cf), -1, 0)).reshape(-1, d, d)
+    assert np.isfinite(kb).all(), "kernel tier NaN'd (rescue would hide it)"
+    relk = np.abs(kb - X) / (np.abs(X) + 1e-30)
+    assert np.median(relk) < 1e-5
 
 
 def test_smoke_jhj_pallas(rng):
