@@ -192,7 +192,37 @@ def bench_reference(spd, vec):
         return 0.0
 
 
+def _device_watchdog(timeout_s: int = 600) -> None:
+    """Fail fast (clean JSON error line) if the TPU backend cannot
+    initialize: ``jax.devices()`` hangs indefinitely when the axon
+    relay is down (observed in round 3 — no relay port listening), and
+    a hung bench is worse for the driver than a failed one. Probes in
+    a subprocess because a hung PJRT init cannot be interrupted
+    in-process."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s, check=True,
+        )
+    except Exception as e:
+        print(
+            f"[bench] device init probe failed ({type(e).__name__}): "
+            f"backend unreachable (axon relay down?)", file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "sym_solve_4x4_1e6batch_fp32",
+            "value": 0.0,
+            "unit": "solves/sec",
+            "vs_baseline": 0.0,
+            "error": "device init timed out/failed — TPU tunnel down",
+        }))
+        sys.exit(1)
+
+
 def main():
+    _device_watchdog()
     rng = np.random.default_rng(0)
     spd, vec = _make_inputs(rng)
     ours = bench_ours(spd, vec)
