@@ -122,8 +122,11 @@ def record(name, batch, dtype, items_per_call, dt, med, p99, unit="items/s",
         u += f" {tflops:6.1f} TFLOP/s ({100 * mxu:5.1f}% MXU)"
     if nw_max is not None:
         u += f" nw_max={nw_max:.1e}"
-    print(f"{name:40s} {thr:12.3e} {unit:10s} "
-          f"relerr med={med:.1e} p99={p99:.1e}{u}", file=sys.stderr,
+    # med/p99 = None marks a timing-only row (no oracle was run for
+    # this exact computation — never copy another row's accuracy)
+    acc = (f"relerr med={med:.1e} p99={p99:.1e}"
+           if med is not None else "relerr (timing-only row)")
+    print(f"{name:40s} {thr:12.3e} {unit:10s} {acc}{u}", file=sys.stderr,
           flush=True)
 
 
@@ -274,8 +277,19 @@ def main():
                    nw_max=normwise(got, want_))
             dt = chained_time(lambda x, m, v0: F.sym_solve(m, x) + v0,
                               vj, cj, vj, k=32, calls=8)
+            got_c = np.asarray(jax.jit(
+                lambda m, v0: jax.lax.scan(
+                    lambda x, _: (F.sym_solve(m, x) + v0, ()), v0, None,
+                    length=32)[0])(cj[:2048], vj[:2048]), np.float64)
+            xo_ = v_[:2048].astype(np.float64)
+            a64_ = a_[:2048].astype(np.float64)
+            for _ in range(32):
+                xo_ = (np.linalg.solve(a64_, xo_[..., None])[..., 0]
+                       + v_[:2048])
+            medc_, p99c_ = rel_err(got_c, xo_)
             record(f"sym_solve {n_}x{n_} sustained (chain k=32)", BIG,
-                   "f32", BIG, dt, med, p99, "solves/s", bytes_per_item=bpi)
+                   "f32", BIG, dt, medc_, p99c_, "solves/s",
+                   bytes_per_item=bpi)
             forced = jax.jit(lambda m, v: F.sym_solve(m, v, backend="xla"))
             dtx = honest_time(forced, cj, vj, calls=8)
             medx, p99x = rel_err(np.asarray(forced(cj[:4096], vj[:4096])),
@@ -356,8 +370,17 @@ def main():
             dt = chained_time(
                 lambda x, a0: B_.batchinv(x) * 0.5 + a0, aj, aj,
                 k=32, calls=8)
+            got_c = np.asarray(jax.jit(
+                lambda a0: jax.lax.scan(
+                    lambda x, _: (B_.batchinv(x) * 0.5 + a0, ()), a0,
+                    None, length=32)[0])(aj[:2048]), np.float64)
+            xo_ = a[:2048].astype(np.float64)
+            for _ in range(32):
+                xo_ = np.linalg.inv(xo_) * 0.5 + a[:2048]
+            medc_, p99c_ = rel_err(got_c, xo_)
             record(f"batchinv {n}x{n} sustained (chain k=32)", nb, "f32",
-                   nb, dt, med, p99, "inv/s", bytes_per_item=2 * n * n * 4)
+                   nb, dt, medc_, p99c_, "inv/s",
+                   bytes_per_item=2 * n * n * 4)
             if n > 4:
                 fx = jax.jit(lambda t: B_.batchinv(t, backend="xla"))
                 dtx = honest_time(fx, aj, calls=8)
@@ -466,8 +489,8 @@ def main():
                 lambda x, a0: a0 + 1e-3 * jnp.eye(4, dtype=x.dtype)
                 * Q.eig_sym(x, check_finite=False)[..., :1, None],
                 abig, abig, k=8, calls=4)
-            record("eig_sym 4x4 sustained (chain k=8)", BIG, "f32", BIG, dt,
-                   med, p99, "eig/s", bytes_per_item=(16 + 4) * 4)
+            record("eig_sym 4x4 sustained (chain k=8)", BIG, "f32", BIG,
+                   dt, None, None, "eig/s", bytes_per_item=(16 + 4) * 4)
             del abig
             from fastmath_tpu.kernels import eig_sym_cf
 
@@ -542,15 +565,19 @@ def main():
             f1 = jax.jit(lambda m: F.sym_maxeig(m, iters=ITERS,
                                                 renorm_every=1))
             dt1 = honest_time(f1, mj)
+            med1, p991 = rel_err(np.asarray(f1(mj[:8192]), np.float64),
+                                 dom)
             record(f"sym_maxeig {n_me}x{n_me} (renorm_every=1)", BIG,
-                   "f32", BIG, dt1, med, p99, "eig/s",
+                   "f32", BIG, dt1, med1, p991, "eig/s",
                    bytes_per_item=(nn_me + n_me + 1) * 4)
             # the same recurrence as a lax.scan of XLA matvecs
             fx = jax.jit(lambda m: F.sym_maxeig(m, iters=ITERS,
                                                 backend="xla"))
             dtx = honest_time(fx, mj)
+            medx, p99x = rel_err(np.asarray(fx(mj[:8192]), np.float64),
+                                 dom)
             record(f"sym_maxeig {n_me}x{n_me} (XLA scan)", BIG, "f32", BIG,
-                   dtx, med, p99, "eig/s",
+                   dtx, medx, p99x, "eig/s",
                    bytes_per_item=(nn_me + n_me + 1) * 4)
             del mj, spd_me
 
@@ -568,7 +595,7 @@ def main():
         dt = chained_time(lambda t: RT.dct(t, norm="ortho"), xj, k=32,
                           calls=8)
         record("dct-II n=64 sustained (chain k=32)", BIG, "f32", BIG, dt,
-               med, p99, "rows/s", bytes_per_item=2 * 64 * 4,
+               None, None, "rows/s", bytes_per_item=2 * 64 * 4,
                flops_per_item=2 * 64 * 64, mxu_hi=True)
         del xj, x  # free before staging the big-n operand
         nfft = 65536
@@ -606,8 +633,17 @@ def main():
                bytes_per_item=2 * 16 * 4)
         # sustained: X <- 0.5 * expm(0.5 X) recurrences stay bounded
         dt = chained_time(lambda x: 0.5 * L.expm(x * 0.5), Xj, k=16, calls=8)
-        record("expm 4x4 sustained (chain k=16)", BIG, "f32", BIG, dt, med,
-               p99, "expm/s", bytes_per_item=2 * 16 * 4)
+        got_sc = np.asarray(jax.jit(
+            lambda x: jax.lax.scan(
+                lambda c, _: (0.5 * L.expm(c * 0.5), ()), x, None,
+                length=16)[0])(Xj[:256]), np.float64)
+        want_sc = X[:256].astype(np.float64)
+        for _ in range(16):
+            want_sc = 0.5 * np.stack([sla.expm(mm * 0.5)
+                                      for mm in want_sc])
+        medsc, p99sc = rel_err(got_sc, want_sc)
+        record("expm 4x4 sustained (chain k=16)", BIG, "f32", BIG, dt,
+               medsc, p99sc, "expm/s", bytes_per_item=2 * 16 * 4)
         # logm inputs built on device (expm), accuracy = roundtrip vs X
         Ej = f(Xj)
         f = jax.jit(L.logm)
@@ -619,8 +655,20 @@ def main():
         # sustained: expm(logm(E)) * c roundtrip chain
         dt = chained_time(lambda e: L.expm(L.logm(e) * 0.999), Ej, k=4,
                           calls=4)
+        # chained-oracle accuracy: the k-step roundtrip recurrence is
+        # contractive toward 0, so rel-err vs the scipy recurrence on a
+        # slice is the honest column
+        got_rt = np.asarray(jax.jit(
+            lambda e: jax.lax.scan(
+                lambda x, _: (L.expm(L.logm(x) * 0.999), ()), e, None,
+                length=4)[0])(Ej[:256]), np.float64)
+        want_rt = np.asarray(Ej[:256], np.float64)
+        for _ in range(4):
+            want_rt = np.stack([sla.expm(np.real(sla.logm(mm)) * 0.999)
+                                for mm in want_rt])
+        medrt, p99rt = rel_err(got_rt, want_rt)
         record("logm+expm 4x4 sustained (chain k=4)", BIG, "f32", BIG,
-               2 * dt, med, p99, "logm/s", bytes_per_item=2 * 16 * 4)
+               2 * dt, medrt, p99rt, "logm/s", bytes_per_item=2 * 16 * 4)
         del Xj, Ej
         # larger-d register tiers: 8x8 (in-register PLU inverse) and
         # 16x16 (rolled stacked-grid) — batch scaled down so the
@@ -710,8 +758,16 @@ def main():
         # sustained: z <- besseli(0, z, norm) + z stays in [0, 31)
         dt = chained_time(lambda t: SP.besseli(0, t, mode="norm") + t,
                           zj, k=32, calls=8)
+        got_bc = np.asarray(jax.jit(
+            lambda t: jax.lax.scan(
+                lambda c, _: (SP.besseli(0, c, mode="norm") + c, ()), t,
+                None, length=32)[0])(zj[:65536]), np.float64)
+        want_bc = z[:65536].astype(np.float64)
+        for _ in range(32):
+            want_bc = ssp.i0e(want_bc) + want_bc
+        medbc, p99bc = rel_err(got_bc, want_bc)
         record("besseli nu=0 sustained (chain k=32)", BIG, "f32", BIG, dt,
-               med, p99, "eval/s", bytes_per_item=8)
+               medbc, p99bc, "eval/s", bytes_per_item=8)
         # general-nu log-space path (series + uniform asymptotic)
         f = jax.jit(lambda t: SP.besseli(3.7, t, mode="log"))
         dt = honest_time(f, zj)

@@ -348,22 +348,39 @@ def _solve_kernel(n, eps_vec, refine, mat_ref, vec_ref, out_ref):
         lane = E[0][0].shape
         A = jnp.stack([E[i][j] for i in range(n) for j in range(n)],
                       axis=0).reshape((n, n) + lane)
-        R = jnp.stack(v, axis=0).reshape((n, 1) + lane)
-        U, Rf, _ = _plu_rolled(A, R)
-        X = _plu_rolled_backsub(U, Rf)
-        x = [X[i, 0] for i in range(n)]
-        for _ in range(refine):
-            r = []
-            for i in range(n):
-                acc = v[i] - E[i][i] * x[i]
-                for j in range(n):
-                    if j != i:
-                        acc = acc - E[i][j] * x[j]
-                r.append(acc)
-            Rr = jnp.stack(r, axis=0).reshape((n, 1) + lane)
-            U2, Rf2, _ = _plu_rolled(A, Rr)
-            dx = _plu_rolled_backsub(U2, Rf2)
-            x = [xi + dx[i, 0] for i, xi in enumerate(x)]
+        vst = jnp.stack(v, axis=0)
+        if refine:
+            # factor ONCE against [v | I]: the identity columns cost
+            # ~one extra factorization-equivalent of elimination but
+            # buy an explicit inverse, so every refinement step is one
+            # O(n^2) masked matvec instead of a fresh O(n^3)
+            # refactorization of the unchanged A
+            ri = jax.lax.broadcasted_iota(
+                jnp.int32, (n, n) + (1,) * len(lane), 0)
+            ci = jax.lax.broadcasted_iota(
+                jnp.int32, (n, n) + (1,) * len(lane), 1)
+            eye = jnp.broadcast_to((ri == ci).astype(A.dtype),
+                                   (n, n) + lane)
+            R = jnp.concatenate([vst.reshape((n, 1) + lane), eye], axis=1)
+            U, Rf, _ = _plu_rolled(A, R)
+            X = _plu_rolled_backsub(U, Rf)
+            x = [X[i, 0] for i in range(n)]
+            Inv = X[:, 1:]
+            for _ in range(refine):
+                r = []
+                for i in range(n):
+                    acc = v[i] - E[i][i] * x[i]
+                    for j in range(n):
+                        if j != i:
+                            acc = acc - E[i][j] * x[j]
+                    r.append(acc)
+                rst = jnp.stack(r, axis=0)
+                dx = jnp.sum(Inv * rst[None, :], axis=1)
+                x = [xi + dx[i] for i, xi in enumerate(x)]
+        else:
+            U, Rf, _ = _plu_rolled(A, vst.reshape((n, 1) + lane))
+            X = _plu_rolled_backsub(U, Rf)
+            x = [X[i, 0] for i in range(n)]
         for i in range(n):
             out_ref[i] = x[i]
         return

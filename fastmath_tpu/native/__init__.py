@@ -156,7 +156,10 @@ def _sym_accmatvec_np(acc, mat, vec, name):
     if lib is None:
         raise RuntimeError("native library unavailable")
     mat, vec, suffix = _prep(mat, vec)
-    acc = np.ascontiguousarray(acc, dtype=mat.dtype)
+    # broadcast like _chain_np broadcasts `add`: the extra-vector
+    # argument follows the same convention across the module
+    acc = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(acc, dtype=mat.dtype), vec.shape))
     n = vec.shape[-1]
     batch = int(np.prod(mat.shape[:-1], dtype=np.int64))
     out = np.empty_like(vec)

@@ -37,12 +37,14 @@ from .sym import _det_expand  # shared trace-time Laplace expansion
 _PALLAS_MAX_N = 16
 
 
-def _route_full(backend, n, dtype, batch, auto=True):
+def _route_full(backend, n, dtype, batch, auto=True, n_max=_PALLAS_MAX_N):
     """Routing decision for the full-storage batched ops (mirrors
-    ``ops/sym.py:_route_compact``; the native tier serves square real
-    floats with n <= 16)."""
+    ``ops/sym.py:_route_compact``). ``n_max`` is the calling op's
+    kernel cap (16 for the PLU family, 8 for Cholesky) so a forced
+    ``backend="pallas"`` raises from the routing layer with the right
+    bound instead of deep inside the kernel wrapper."""
     supported = (
-        n <= _PALLAS_MAX_N
+        n <= n_max
         and jnp.issubdtype(jnp.dtype(dtype), jnp.floating)
     )
     if backend == "auto" and not auto:
@@ -55,7 +57,7 @@ def _route_full(backend, n, dtype, batch, auto=True):
         small_n=n <= _CLOSED_FORM_MAX,
         why_unsupported=(
             f"pallas tier serves square real-float batches with "
-            f"n <= {_PALLAS_MAX_N} (got n={n}, {jnp.dtype(dtype).name})"
+            f"n <= {n_max} (got n={n}, {jnp.dtype(dtype).name})"
         ),
     )
 
@@ -395,8 +397,26 @@ def batchlmdiv(
     n = a.shape[-1]
     vector_rhs = b.ndim == a.ndim - 1
     k = 1 if vector_rhs else b.shape[-1]
-    if (not regularize and k <= (16 if n > 8 else 8)
-            and _route_full(backend, n, a.dtype, _nb(a), auto=n > 4)):
+    k_cap = 16 if n > 8 else 8
+    if backend == "pallas":
+        # raise, don't silently fall back, when the forced backend
+        # cannot serve the arguments (mirrors batchinv)
+        if regularize:
+            raise ValueError(
+                "backend='pallas' does not implement regularize=True "
+                "(the reference's det smoothing is a closed-form-path "
+                "knob)")
+        if k > k_cap:
+            raise ValueError(
+                f"backend='pallas' lmdiv caps RHS columns at {k_cap} "
+                f"for n={n}; got k={k}")
+    # route on the BROADCAST batch: a single shared matrix against a
+    # huge RHS batch is still a huge workload
+    nb_bc = int(np.prod(np.broadcast_shapes(
+        a.shape[:-2], b.shape[:b.ndim - (1 if vector_rhs else 2)]),
+        dtype=np.int64))
+    if (not regularize and k <= k_cap
+            and _route_full(backend, n, a.dtype, nb_bc, auto=n > 4)):
         from ..kernels.batched_pallas import solve_full_cf
 
         nb_dims = b.ndim - (1 if vector_rhs else 2)
@@ -456,7 +476,7 @@ def batchchol(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """
     a, half = upcast_half(a)
     n = a.shape[-1]
-    if _route_full(backend, n, a.dtype, _nb(a), auto=False):
+    if _route_full(backend, n, a.dtype, _nb(a), auto=False, n_max=8):
         from ..kernels.batched_pallas import chol_cf
         from ..layouts.sym import full_to_sym, tri_index
 

@@ -395,8 +395,6 @@ def sym_solve_chain(
 
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    if iters == 0:
-        return vec
     arrays = (mat, vec) if add is None else (mat, vec, add)
     *arrays, half = upcast_half(*arrays)
     mat, vec = arrays[0], arrays[1]
@@ -404,7 +402,10 @@ def sym_solve_chain(
     n = vec.shape[-1]
     layout = classify_layout(mat.shape[-1], n)
     batch = _nbatch(*arrays)
-    if iters > 1 and _use_pallas(
+    # explicit backend="pallas" is validated (raises on unsupported
+    # layout/dtype) and honored at ANY iters; the auto gate stays
+    # iters > 1 per the documented routing table
+    use_kernel = (iters > 1 or backend == "pallas") and _use_pallas(
         backend,
         supported=_pallas_supported(layout, n, mat.dtype,
                                     n_max=_PALLAS_ROLLED_MAX_N),
@@ -416,7 +417,10 @@ def sym_solve_chain(
             f"N <= {_PALLAS_ROLLED_MAX_N} and real floating dtypes (got "
             f"layout={layout.name}, N={n}, {jnp.dtype(mat.dtype).name})"
         ),
-    ):
+    )
+    if iters == 0:
+        return _downcast(vec, half)
+    if use_kernel:
         from ..kernels.sym_pallas import sym_solve_chain_cf
 
         if add_ is None:
@@ -470,8 +474,6 @@ def sym_matvec_chain(
 
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    if iters == 0:
-        return vec
     arrays = (mat, vec) if add is None else (mat, vec, add)
     *arrays, half = upcast_half(*arrays)
     mat, vec = arrays[0], arrays[1]
@@ -479,7 +481,10 @@ def sym_matvec_chain(
     n = vec.shape[-1]
     layout = classify_layout(mat.shape[-1], n)
     batch = _nbatch(*arrays)
-    if iters > 1 and _use_pallas(
+    # explicit backend="pallas" is validated (raises on unsupported
+    # layout/dtype) and honored at ANY iters; the auto gate stays
+    # iters > 1 per the documented routing table
+    use_kernel = (iters > 1 or backend == "pallas") and _use_pallas(
         backend,
         supported=_pallas_supported(layout, n, mat.dtype,
                                     n_max=_PALLAS_ROLLED_MAX_N),
@@ -491,7 +496,10 @@ def sym_matvec_chain(
             f"N <= {_PALLAS_ROLLED_MAX_N} and real floating dtypes (got "
             f"layout={layout.name}, N={n}, {jnp.dtype(mat.dtype).name})"
         ),
-    ):
+    )
+    if iters == 0:
+        return _downcast(vec, half)
+    if use_kernel:
         from ..kernels.sym_pallas import sym_matvec_chain_cf
 
         if add_ is None:
@@ -548,7 +556,11 @@ def sym_maxeig(
     dense pseudo-random direction (deterministic). A ``v0`` exactly
     orthogonal to the dominant eigenvector converges to a subdominant
     pair — supply a better ``v0`` (e.g. a previous solution) to warm
-    start.
+    start. ``v0`` also pins ``N`` and thereby the storage layout:
+    without it, an ambiguous flat size (3, 6, 10, … are both valid
+    diagonal and compact sizes) is read as **compact** — pass ``v0``
+    to use diagonal / scaled-identity / full storage (served by the
+    XLA path).
 
     ``renorm_every`` (Pallas path; 1..16, default 8): matvecs per
     normalization. Power iteration is scale-invariant, so per-step
@@ -567,17 +579,23 @@ def sym_maxeig(
         raise ValueError("renorm_every must be in 1..16")
     mat, half = upcast_half(mat)
     nn = mat.shape[-1]
-    n = sym_dim(nn)
-    layout = classify_layout(nn, n)
-    if v0 is None:
-        v0 = _jax.random.normal(_jax.random.key(0), (n,), mat.dtype)
-    else:
+    if v0 is not None:
+        # v0 pins N, which disambiguates the storage layout (a flat
+        # size like 3 or 6 is both a valid diagonal and a valid
+        # compact matrix; without v0 the compact reading wins — the
+        # documented contract)
         v0 = jnp.asarray(v0, mat.dtype)
-        if v0.shape[-1] != n:
-            raise ValueError(
-                f"v0 last dim must be N={n}; got {v0.shape[-1]}")
-    batch = _nbatch(mat)
-    if iters > 0 and _use_pallas(
+        n = v0.shape[-1]
+        layout = classify_layout(nn, n)  # raises if inconsistent
+    else:
+        n = sym_dim(nn)
+        layout = classify_layout(nn, n)
+        v0 = _jax.random.normal(_jax.random.key(0), (n,), mat.dtype)
+    batch = _nbatch(mat, v0)
+    # explicit backend="pallas" is validated and honored at iters = 0
+    # too (the kernel serves it: normalize + Rayleigh quotient); the
+    # auto gate stays iters >= 1 per the documented routing table
+    if (iters > 0 or backend == "pallas") and _use_pallas(
         backend,
         supported=_pallas_supported(layout, n, mat.dtype,
                                     n_max=_PALLAS_ROLLED_MAX_N),
@@ -598,8 +616,9 @@ def sym_maxeig(
         mu, v = _downcast(mu, half), _downcast(v, half)
         return (mu, v) if return_vector else mu
 
-    # XLA fallback: layout-general via sym_matvec (serves diagonal /
-    # scaled-identity / full storage and every N). Pre-scale by the
+    # XLA fallback: layout-general via sym_matvec (diagonal /
+    # scaled-identity / full storage — reachable by pinning N with v0 —
+    # and every N). Pre-scale by the
     # per-lane max |entry| (layout-general) so a single matvec's norm^2
     # cannot overflow f32 at any input scale (the per-step
     # normalization handles the rest). The scale's own derivative

@@ -236,3 +236,50 @@ class TestUnrolledPLU:
         np.testing.assert_allclose(
             x, np.linalg.solve(np.broadcast_to(a, (7, n, n)), b),
             rtol=1e-8, atol=1e-10)
+
+
+class TestReviewRegressions:
+    """Round-3 code-review findings (routing contracts + overflow)."""
+
+    def test_logdet_pallas_f32_overflow_free(self, rng):
+        """log of the product overflows f32 where the sum of logs does
+        not — the 5<=n<=8 and n<=4 kernel tiers must accumulate per
+        pivot like the XLA tier (8x8 scaled so |det| ~ 6e53)."""
+        import jax.numpy as jnp
+        from fastmath_tpu.ops.batched import batchlogdet
+
+        for n in (4, 8):
+            a = rng.standard_normal((64, n, n))
+            a = (np.einsum("...ij,...kj->...ik", a, a)
+                 + n * np.eye(n)) * 4e5
+            want = np.linalg.slogdet(a.astype(np.float64))[1]
+            got = np.asarray(
+                batchlogdet(jnp.asarray(a, jnp.float32),
+                            backend="pallas"), np.float64)
+            assert np.isfinite(got).all()
+            np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_lmdiv_forced_pallas_raises(self, rng):
+        import jax.numpy as jnp
+        import pytest
+        from fastmath_tpu.ops.batched import batchlmdiv
+
+        n = 8
+        a = jnp.asarray(rng.standard_normal((10, n, n)) + n * np.eye(n))
+        b = jnp.asarray(rng.standard_normal((10, n)))
+        with pytest.raises(ValueError):
+            batchlmdiv(a, b, regularize=True, backend="pallas")
+        b9 = jnp.asarray(rng.standard_normal((10, n, 9)))
+        with pytest.raises(ValueError):
+            batchlmdiv(a, b9, backend="pallas")  # k=9 > cap 8 at n=8
+
+    def test_chol_forced_pallas_cap_raises(self, rng):
+        import jax.numpy as jnp
+        import pytest
+        from fastmath_tpu.ops.batched import batchchol
+
+        a = rng.standard_normal((4, 9, 9))
+        a = jnp.asarray(np.einsum("...ij,...kj->...ik", a, a)
+                        + 9 * np.eye(9))
+        with pytest.raises(ValueError, match="n <= 8"):
+            batchchol(a, backend="pallas")

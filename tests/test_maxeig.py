@@ -250,3 +250,45 @@ class TestMatvecChain:
         np.testing.assert_allclose(np.asarray(out), np.asarray(v))
         with pytest.raises(ValueError):
             sym_matvec_chain(m, v, -1)
+
+
+class TestReviewRegressions:
+    """Round-3 code-review findings (iters-gate + layout ambiguity)."""
+
+    def test_chain_forced_pallas_iters1_validates(self, rng):
+        """backend='pallas' must be validated (and honored) at iters=1
+        too — previously the iters>1 gate silently ran the XLA scan."""
+        from fastmath_tpu.ops.sym import sym_matvec_chain, sym_solve_chain
+
+        diag = jnp.asarray(rng.standard_normal((5, 3)) ** 2 + 1)  # diagonal
+        v = jnp.asarray(rng.standard_normal((5, 3)))
+        for op in (sym_matvec_chain, sym_solve_chain):
+            with pytest.raises(ValueError):
+                op(diag, v, 1, backend="pallas")
+            # supported (compact) layout: kernel serves iters=1
+            comp = jnp.asarray(rng.standard_normal((5, 6)))
+            comp = comp.at[..., :3].add(4.0)
+            out_p = np.asarray(op(comp, v, 1, backend="pallas"))
+            out_x = np.asarray(op(comp, v, 1, backend="xla"))
+            np.testing.assert_allclose(out_p, out_x, rtol=1e-10,
+                                       atol=1e-12)
+
+    def test_maxeig_forced_pallas_iters0_validates(self, rng):
+        from fastmath_tpu.ops.sym import sym_maxeig
+
+        diag = jnp.asarray(rng.standard_normal((5, 3)) ** 2 + 1)
+        v = jnp.asarray(rng.standard_normal((5, 3)))
+        with pytest.raises(ValueError):
+            sym_maxeig(diag, iters=0, v0=v, backend="pallas")
+
+    def test_maxeig_diagonal_layout_via_v0(self, rng):
+        """nn = 6 is both a valid diagonal (6x6) and compact (3x3)
+        size; v0 pins N and routes diagonal storage through the XLA
+        path with the right answer (previously misparsed as 3x3)."""
+        from fastmath_tpu.ops.sym import sym_maxeig
+
+        d = np.abs(rng.standard_normal((20, 6))) + 0.1
+        d[:, 2] = 9.0  # dominant
+        v0 = jnp.asarray(rng.standard_normal((20, 6)))
+        mu = np.asarray(sym_maxeig(jnp.asarray(d), iters=80, v0=v0))
+        np.testing.assert_allclose(mu, 9.0, rtol=1e-8)

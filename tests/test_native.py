@@ -131,3 +131,16 @@ def test_native_maxeig(rng):
                                    v0=jnp.asarray(v0)))
     mu_nat = native.sym_maxeig_np(compact, iters=120, v0=v0)
     np.testing.assert_allclose(mu_nat, mu_jax, rtol=1e-11, atol=1e-12)
+
+
+def test_native_accmatvec_broadcast(rng):
+    """acc broadcasts to the vec batch like _chain_np's add (round-3
+    review: a shared (n,) acc previously raised at reshape)."""
+    n = 4
+    full, compact = randsym(rng, 32, n, np.float64)
+    vec = rng.standard_normal((32, n))
+    acc = rng.standard_normal((n,))  # shared across the batch
+    mv = np.einsum("...ij,...j->...i", full, vec)
+    np.testing.assert_allclose(
+        native.sym_addmatvec_np(acc, compact, vec), acc + mv,
+        rtol=1e-10, atol=1e-10)

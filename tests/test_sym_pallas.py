@@ -85,6 +85,21 @@ def test_solve_cf_refine_plu(rng):
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-11)
 
 
+def test_solve_cf_refine_rolled(rng):
+    """refine > 0 on the rolled 9<=n<=16 tier: factor-once against
+    [v | I], refinement corrections via the explicit inverse (the
+    round-3 review found the old path refactoring per step)."""
+    full, mat_cf = random_sym_cf(rng, 24, 12)
+    vec = rng.standard_normal((24, 12))
+    want = np.linalg.solve(full, vec[..., None])[..., 0]
+    for refine in (1, 2):
+        got = np.asarray(
+            sym_solve_cf(jnp.asarray(mat_cf), jnp.asarray(vec.T),
+                         block=128, refine=refine)
+        ).T
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-11)
+
+
 def test_solve_grad_plu(rng):
     """Solve VJP on the N=6 PLU tier vs finite differences."""
     full, mat_cf = random_sym_cf(rng, 5, 6)
