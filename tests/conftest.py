@@ -13,6 +13,25 @@ import os
 # FASTMATH_TEST_PLATFORM=axon to run the suite on the real chip instead
 # (the device-parametrization axis of the reference's test strategy).
 _platform = os.environ.get("FASTMATH_TEST_PLATFORM", "cpu")
+if _platform == "axon":
+    # fail fast instead of hanging the whole pytest process: device
+    # init under axon blocks forever when the relay tunnel is down
+    # (observed round 3); probe in a subprocess — a hung PJRT init
+    # cannot be interrupted in-process.
+    import subprocess
+    import sys as _sys
+
+    try:
+        subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=600, check=True,
+        )
+    except Exception as e:
+        raise RuntimeError(
+            f"FASTMATH_TEST_PLATFORM=axon but TPU device init failed "
+            f"({type(e).__name__}) — relay tunnel down? Unset the "
+            f"variable to run the CPU suite."
+        ) from e
 os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
