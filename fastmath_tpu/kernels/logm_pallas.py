@@ -352,6 +352,13 @@ def logm_cf(
     kern = functools.partial(
         _logm_kernel if d <= _MAX_D else _logm_rolled_kernel,
         d, order, db_tol)
+    # The rolled tier's live stacked grids (A, D, M, Y, PLU scratch,
+    # Gregory accumulators) total ~17 MiB at d=16 x block 1024 — over
+    # Mosaic's 16 MiB default scoped-VMEM stack (measured OOM by
+    # 864 KiB on v5e). Raise the limit; block 1024 is already the
+    # stacked-grid minimum so it cannot shrink instead.
+    vmem_limit = 32 * 1024 * 1024 if d > _MAX_D else None
     out = _call_rows(kern, (m2,), mat.shape[0], block, bool(interpret),
-                     diag_rows=tuple(i * d + i for i in range(d)))
+                     diag_rows=tuple(i * d + i for i in range(d)),
+                     vmem_limit=vmem_limit)
     return out.reshape(mat.shape[0], *batch_shape)

@@ -510,9 +510,15 @@ class _Row4:
 
 
 def _call_rows(kernel, in_arrays, out_rows, block, interpret, diag_rows=0,
-               bm=False):
+               bm=False, vmem_limit=None):
     """Run ``kernel`` over blocks of lanes: inputs ``(rows_i, B)`` ->
     output ``(out_rows, B)``.
+
+    ``vmem_limit`` raises Mosaic's scoped-VMEM stack limit (bytes) above
+    the conservative 16 MiB default — needed by rolled stacked-grid
+    kernels whose live register grids scale as d^2 x block (e.g. logm
+    d=16 holds ~17 MiB of A/D/M/Y/PLU/Gregory state at block 1024;
+    measured OOM by 864 KiB on v5e, which has far more physical VMEM).
 
     Layout trick (``bm=False``, channel-first-resident data): each
     ``(rows, B)`` operand is viewed as ``(rows, B/128, 128)`` (a free
@@ -535,6 +541,10 @@ def _call_rows(kernel, in_arrays, out_rows, block, interpret, diag_rows=0,
     separate global transpose (VERDICT r2 items 1/8).
     """
     block = max(128, (block // 128) * 128)
+    extra = {}
+    if vmem_limit is not None and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit))
     (padded, b) = _pad_to_block(list(in_arrays), block, diag_rows=diag_rows)
     bp = padded[0].shape[-1]
     nblocks = bp // block
@@ -561,6 +571,7 @@ def _call_rows(kernel, in_arrays, out_rows, block, interpret, diag_rows=0,
             out_shape=jax.ShapeDtypeStruct((nblocks, out_rows, bb, 128),
                                            padded[0].dtype),
             interpret=interpret,
+            **extra,
         )(*padded)
         out = out.transpose(1, 0, 2, 3).reshape(out_rows, bp)
         return out[:, :b]
@@ -579,6 +590,7 @@ def _call_rows(kernel, in_arrays, out_rows, block, interpret, diag_rows=0,
         out_shape=jax.ShapeDtypeStruct((out_rows, bp // 128, 128),
                                        padded[0].dtype),
         interpret=interpret,
+        **extra,
     )(*padded)
     return out.reshape(out_rows, bp)[:, :b]
 
