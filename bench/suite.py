@@ -176,8 +176,8 @@ def main():
     ap.add_argument("--out", default="BENCH_MEASURED.md")
     ap.add_argument("--small", action="store_true", help="reduced batch sizes")
     ap.add_argument("--section", default="all",
-                    help="comma-set of {sym,chain,batched,gate16,eig,dct,"
-                         "lie,reduce,solve8,bf16,maxeig,misc}")
+                    help="comma-set of {sym,chain,batched,gate16,rolled32,"
+                         "eig,dct,lie,reduce,solve8,bf16,maxeig,misc}")
     args = ap.parse_args()
     sections = set(args.section.split(","))
 
@@ -465,6 +465,62 @@ def main():
                    p99, "solves/s", bytes_per_item=(256 + 2 * 16) * 4,
                    nw_max=normwise(got, sol_want))
         del a, aj, bj, bvec
+
+    # --- rolled tier past the BASELINE gate: 17 <= n <= 32 ------------------
+    # (hardware-only: the rolled stacked-grid kernels in interpret mode
+    # cost minutes at these sizes; CPU parity lives in test_rolled32.py)
+    if on("rolled32") and backend == "tpu":
+        n24, nb24 = 24, MID
+        a = spd_batch(rng, nb24, n24)
+        aj = jax.device_put(jnp.asarray(a))
+        inv_want = np.linalg.inv(a[:2048].astype(np.float64))
+        f = jax.jit(B_.batchinv)
+        dt = honest_time(f, aj, calls=8)
+        got = np.asarray(f(aj[:2048]))
+        med, p99 = rel_err(got, inv_want)
+        record("batchinv 24x24 (public, auto->pallas rolled)", nb24, "f32",
+               nb24, dt, med, p99, "inv/s", bytes_per_item=2 * 576 * 4,
+               nw_max=normwise(got, inv_want))
+        fx = jax.jit(lambda t: B_.batchinv(t, backend="xla"))
+        dtx = honest_time(fx, aj, calls=2)
+        medx, p99x = rel_err(np.asarray(fx(aj[:2048])), inv_want)
+        record("batchinv 24x24 (public, xla blocked)", nb24, "f32", nb24,
+               dtx, medx, p99x, "inv/s", bytes_per_item=2 * 576 * 4)
+        ch_want = np.linalg.cholesky(a[:2048].astype(np.float64))
+        f = jax.jit(B_.batchchol)
+        dt = honest_time(f, aj, calls=8)
+        got = np.asarray(f(aj[:2048]))
+        med, p99 = rel_err(got + np.triu(np.ones(n24), 1),
+                           ch_want + np.triu(np.ones(n24), 1))
+        record("batchchol 24x24 (public, auto->pallas rolled)", nb24, "f32",
+               nb24, dt, med, p99, "chol/s", bytes_per_item=2 * 576 * 4,
+               nw_max=normwise(got, ch_want))
+        fx = jax.jit(lambda t: B_.batchchol(t, backend="xla"))
+        dtx = honest_time(fx, aj, calls=2)
+        record("batchchol 24x24 (public, xla blocked)", nb24, "f32", nb24,
+               dtx, None, None, "chol/s", bytes_per_item=2 * 576 * 4)
+        del a, aj
+        n32, nb32 = 32, MID // 2
+        a = spd_batch(rng, nb32, n32)
+        aj = jax.device_put(jnp.asarray(a))
+        f = jax.jit(B_.batchlogdet)
+        dt = honest_time(f, aj, calls=8)
+        _, ld = np.linalg.slogdet(a[:2048].astype(np.float64))
+        med, p99 = rel_err(np.asarray(f(aj[:2048])), ld)
+        record("batchlogdet 32x32 (public, auto->pallas rolled)", nb32,
+               "f32", nb32, dt, med, p99, "logdet/s",
+               bytes_per_item=(1024 + 1) * 4)
+        f24 = jax.jit(lambda x: Q.eig_sym(x, check_finite=False))
+        a24 = spd_batch(rng, MID // 2, n24)
+        aj24 = jax.device_put(jnp.asarray(a24))
+        dt = honest_time(f24, aj24, calls=4)
+        w = np.sort(np.asarray(f24(aj24[:2048])), -1)
+        ww = np.sort(np.linalg.eigvalsh(a24[:2048].astype(np.float64)), -1)
+        med, p99 = rel_err(w, ww)
+        record("eig_sym 24x24 (auto->pallas rolled)", MID // 2, "f32",
+               MID // 2, dt, med, p99, "eig/s",
+               bytes_per_item=(576 + 24) * 4)
+        del a, aj, a24, aj24
 
     # --- eig_sym 4x4 huge batch -------------------------------------------
     if on("eig"):

@@ -27,7 +27,7 @@ from .sym_pallas import _interpret_default
 __all__ = ["eig_sym_cf"]
 
 _DEFAULT_SWEEPS = 8
-_MAX_N = 16
+_MAX_N = 32
 _UNROLL_MAX_N = 8
 
 
@@ -167,7 +167,7 @@ def _apply_round(E, V, pairs, n):
     ``V`` when not None) as six full-grid vector ops: row combine,
     column combine, V-column combine, each ``C*X + S*X[perm]`` with a
     static partner permutation. This is the op-count/compile-size
-    trade that makes 9 <= n <= 16 viable: ~6 n^2 lane-FMAs per round
+    trade that makes 9 <= n <= 32 viable: ~6 n^2 lane-FMAs per round
     in O(1) traced ops, vs thousands of per-element register ops for
     the unrolled cyclic sweep (which Mosaic compiles for minutes at
     n = 16)."""
@@ -204,7 +204,7 @@ def _apply_round(E, V, pairs, n):
 
 def _eig_rolled_kernel(n, sweeps, compute_u, mat_ref, *out_refs):
     """Parallel-order (round-robin) Jacobi on a stacked register grid,
-    for 9 <= n <= 16. One sweep = n-1 unrolled rounds of n/2 disjoint
+    for 9 <= n <= 32. One sweep = n-1 unrolled rounds of n/2 disjoint
     rotations; the sweep loop is a ``lax.while_loop`` with the same
     Frobenius-relative whole-block convergence exit as the unrolled
     kernel. Parallel-order Jacobi is cyclic (every pair once per
@@ -321,6 +321,14 @@ def eig_sym_cf(
         out_shapes.append(jax.ShapeDtypeStruct((n * n, bp // 128, 128), mp.dtype))
         out_specs.append(pl.BlockSpec((n * n, bb, 128), lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM))
+    extra = {}
+    if n > 16 and not interpret:
+        # n > 16 rolled grids (E + permuted copy + V + Vc + rotation
+        # temps, each n^2 x block x 4 B) outgrow Mosaic's 16 MiB
+        # default scoped-VMEM stack — same knob as sym_pallas's
+        # _rolled_vmem (v5e has 128 MiB physical)
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
     outs = pl.pallas_call(
         kern,
         grid=(bp // block,),
@@ -329,6 +337,7 @@ def eig_sym_cf(
         out_specs=out_specs if compute_u else out_specs[0],
         out_shape=out_shapes if compute_u else out_shapes[0],
         interpret=bool(interpret),
+        **extra,
     )(mp)
     if not compute_u:
         outs = (outs,)

@@ -26,7 +26,7 @@ from .sym_pallas import DEFAULT_BLOCK, _call_rows, _interpret_default
 __all__ = ["expm_cf"]
 
 _MAX_D = 8
-_MAX_D_ROLLED = 16
+_MAX_D_ROLLED = 32
 _SQUARINGS_MAX = 20
 _ORDER_F32 = 9
 _ORDER_F64 = 16
@@ -70,7 +70,7 @@ def _eye_st(d, lane, dt):
 
 
 def _expm_rolled_kernel(d, order, mat_ref, out_ref):
-    """Rolled (stacked-grid) scaling-and-squaring for 9 <= d <= 16:
+    """Rolled (stacked-grid) scaling-and-squaring for 9 <= d <= 32:
     the same algebra as :func:`_expm_kernel` on a ``(d, d, *lane)``
     carry — O(d) traced ops per Horner step instead of the O(d^3)
     per-entry register ops the unrolled form would need (minutes of
@@ -171,7 +171,12 @@ def _expm_cf(mat, block, interpret):
     order = _ORDER_F64 if jnp.finfo(mat.dtype).eps < 1e-10 else _ORDER_F32
     kern = functools.partial(
         _expm_kernel if d <= _MAX_D else _expm_rolled_kernel, d, order)
-    return _call_rows(kern, (mat,), mat.shape[0], block, interpret)
+    # d > 16: ~6 live (d, d, block) stacked grids (A, eye, Y, R, G +
+    # matmul temp) = ~24 MiB at d=32 x block 1024, over Mosaic's
+    # 16 MiB default scoped-VMEM stack (cf. logm_cf's budget note)
+    vmem = 64 * 1024 * 1024 if d > 16 else None
+    return _call_rows(kern, (mat,), mat.shape[0], block, interpret,
+                      vmem_limit=vmem)
 
 
 def _expm_cf_fwd(mat, block, interpret):
@@ -224,12 +229,12 @@ def expm_cf(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Channel-first batched matrix exponential ``(d*d, ...) ->
-    (d*d, ...)`` (Pallas; row-major channels, d <= 16).
+    (d*d, ...)`` (Pallas; row-major channels, d <= 32).
 
     Scaling-and-squaring with a fixed-order Taylor-Horner core and
     per-lane masked squaring depth, entirely in registers — one memory
     pass per batch. Differentiable (Mathias block-matrix VJP).
-    d <= 8 unrolls the register grid per entry; 9 <= d <= 16 runs the
+    d <= 8 unrolls the register grid per entry; 9 <= d <= 32 runs the
     same algebra rolled on stacked ``(d, d, *lane)`` grids
     (:func:`_expm_rolled_kernel` — O(1) Mosaic ops in d per Horner
     term). SoA tier of :func:`fastmath_tpu.ops.lie.expm` (reference

@@ -34,7 +34,7 @@ from .sym_pallas import (
 __all__ = ["logm_cf"]
 
 _MAX_D = 8
-_MAX_D_ROLLED = 16
+_MAX_D_ROLLED = 24
 _ISS_MAX = 12
 #: matches ops.lie._DB_ITERS: near-cut (but off-cut) eigenvalues need
 #: ~log2(1/dist) iterations of the unscaled product-form iteration;
@@ -228,7 +228,7 @@ def _logm_kernel(d, order, db_tol, mat_ref, out_ref):
 
 def _logm_rolled_kernel(d, order, db_tol, mat_ref, out_ref):
     """Rolled (stacked-grid) inverse scaling-and-squaring for
-    9 <= d <= 16: the same algebra as :func:`_logm_kernel` on
+    9 <= d <= 24: the same algebra as :func:`_logm_kernel` on
     ``(d, d, *lane)`` carries, with the register-grid inverses done by
     the rolled one-hot PLU (:func:`..kernels.sym_pallas._plu_rolled`)
     against an identity RHS — O(1) traced ops in d, where the unrolled
@@ -314,11 +314,11 @@ def logm_cf(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Channel-first batched matrix logarithm ``(d*d, ...) ->
-    (d*d, ...)`` (Pallas; row-major channels, real d <= 16).
+    (d*d, ...)`` (Pallas; row-major channels, real d <= 24).
 
     One-memory-pass inverse scaling-and-squaring (see module
     docstring); d <= 8 unrolls the register grid per entry,
-    9 <= d <= 16 runs the same algebra rolled on stacked
+    9 <= d <= 24 runs the same algebra rolled on stacked
     ``(d, d, *lane)`` grids with rolled-PLU inverses
     (:func:`_logm_rolled_kernel`). Forward-only — for gradients use
     :func:`fastmath_tpu.ops.lie.logm`, whose Mathias VJP wraps this
@@ -357,7 +357,17 @@ def logm_cf(
     # Mosaic's 16 MiB default scoped-VMEM stack (measured OOM by
     # 864 KiB on v5e). Raise the limit; block 1024 is already the
     # stacked-grid minimum so it cannot shrink instead.
-    vmem_limit = 32 * 1024 * 1024 if d > _MAX_D else None
+    # ~17 MiB of live grids at d=16 scales ~d^2: 32 MiB serves
+    # 9 <= d <= 16, 64 MiB to d=24. The tier caps at 24, not 32:
+    # d=32's ~68 MiB of live nested-while state sends the Mosaic
+    # compile past 27 minutes (measured; d=24 compiles in ~2 min and
+    # runs 23x the XLA ISS path) — d > 24 serves the XLA tier.
+    if d > 16:
+        vmem_limit = 64 * 1024 * 1024
+    elif d > _MAX_D:
+        vmem_limit = 32 * 1024 * 1024
+    else:
+        vmem_limit = None
     out = _call_rows(kern, (m2,), mat.shape[0], block, bool(interpret),
                      diag_rows=tuple(i * d + i for i in range(d)),
                      vmem_limit=vmem_limit)

@@ -55,10 +55,21 @@ DEFAULT_BLOCK = 8192  # lanes per grid step (multiple of 128)
 #: N <= 4, in-register unrolled pivoted LU 5 <= N <= 8 — jitfields'
 #: kernels had no N cap, reference ``sym.py:16-24``).
 MAX_N = 8
-#: solve/invert/det extend to N <= 16 via the fori_loop-rolled one-hot
-#: PLU on stacked grids (``_plu_rolled`` — O(1) compile in N; the
-#: BASELINE <=16x16 gate). Matches the XLA tier's ``LU_UNROLL_MAX``.
-MAX_N_ROLLED = 16
+#: solve/invert/det extend to N <= 32 via the fori_loop-rolled one-hot
+#: PLU on stacked grids (``_plu_rolled`` — O(1) compile in N; N <= 16
+#: is the BASELINE gate, 17..32 removes the cap the reference's
+#: jitfields kernels never had). Above 16 the live stacked grids
+#: (n^2 x block x 4 B each) outgrow Mosaic's 16 MiB default
+#: scoped-VMEM stack, so those paths pass ``_rolled_vmem(n)``.
+MAX_N_ROLLED = 32
+
+
+def _rolled_vmem(n: int):
+    """Scoped-VMEM request for rolled stacked-grid kernels: None keeps
+    Mosaic's 16 MiB default (enough through n = 16); n > 16 requests
+    64 MiB (a 32x32 grid is 4 MiB at block 1024 and solve/inv/eig hold
+    ~3-5 of them live; v5e has 128 MiB physical VMEM)."""
+    return 64 * 1024 * 1024 if n > 16 else None
 
 
 def _interpret_default() -> bool:
@@ -199,7 +210,7 @@ def _plu_rolled(A, R=None):
     Same algebra as :func:`_plu_grid` (one-hot first-max pivoting,
     scatter-free masked row swaps, lane-parallel elimination) but one
     traced step — compile time O(1) in n instead of O(n^3), which is
-    what makes the 9 <= n <= 16 tier viable (the unrolled grid at
+    what makes the 9 <= n <= 32 tier viable (the unrolled grid at
     n=16 is ~4k Mosaic ops). Returns ``(A, R, parity)`` with U on and
     above the diagonal of ``A``.
     """
@@ -283,6 +294,41 @@ def _plu_rolled_backsub(U, R):
         return X + ei[:, None] * (xi - ri)[None, :]
 
     return jax.lax.fori_loop(0, n, bstep, R)
+
+
+def _chol_rolled(A):
+    """Rolled (``lax.fori_loop``) right-looking outer-product Cholesky
+    on a stacked channel grid ``A (n, n, *lane)``; returns the lower
+    factor ``L (n, n, *lane)`` with exact zeros above the diagonal.
+
+    Same one-hot masked-indexing idiom as :func:`_plu_rolled` (Mosaic
+    has no dynamic_slice lowering in TPU kernels): step k reads column
+    k of the running Schur complement with a masked reduction, scales
+    rows >= k by ``rsqrt`` of the pivot, subtracts the rank-1 trailing
+    update restricted to rows/cols > k, and mask-writes column k of L.
+    No pivoting (SPD input contract, like the unrolled
+    ``_chol_rows``). O(1) traced ops per step -> O(1) Mosaic compile
+    in n; serves 9 <= n <= 32 where the per-entry unrolled grid would
+    cost ~n^3 register ops."""
+    n = A.shape[0]
+    lane = A.shape[2:]
+    dt = A.dtype
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * len(lane), 0)
+
+    def step(k, carry):
+        W, L = carry
+        ek = (rows1 == k).astype(dt)
+        colk = jnp.sum(W * ek[None, :], axis=1)  # W[:, k]  (n, *lane)
+        dkk = jnp.sum(colk * ek, axis=0)  # pivot W[k, k]  (*lane)
+        lk = jnp.where(rows1 >= k, colk * jax.lax.rsqrt(dkk),
+                       jnp.zeros_like(colk))
+        below = jnp.where(rows1 > k, lk, jnp.zeros_like(lk))
+        W = W - below[:, None] * below[None, :]
+        L = L + lk[:, None] * ek[None, :]
+        return W, L
+
+    _, L = jax.lax.fori_loop(0, n, step, (A, jnp.zeros_like(A)))
+    return L
 
 
 def _plu_substitute(E, pivs, r, n, inv_diag=None):
@@ -612,7 +658,7 @@ def _solve_cf(mat, vec, eps_tuple, block, interpret, refine, bm=False):
     n = vec.shape[0]
     kern = functools.partial(_solve_kernel, n, eps_tuple, refine)
     return _call_rows(kern, (mat, vec), n, block, interpret, diag_rows=n,
-                      bm=bm)
+                      bm=bm, vmem_limit=_rolled_vmem(n))
 
 
 def _solve_cf_fwd(mat, vec, eps_tuple, block, interpret, refine, bm=False):
@@ -749,7 +795,7 @@ def _solve_chain_kernel(n, eps_vec, iters, mat_ref, vec_ref, add_ref,
 
         xs = jax.lax.fori_loop(0, iters, body_plu, x0)
     else:
-        # rolled tier (9 <= N <= 16): explicit inverse once per block
+        # rolled tier (9 <= N <= 32): explicit inverse once per block
         # via the rolled PLU (the same algebra the N <= 4 path applies
         # per iteration — adj(A)/det IS the inverse), then one O(n^2)
         # masked matvec per iteration. Loop carry is a stacked (n,
@@ -783,7 +829,7 @@ def _solve_chain_cf(mat, vec, add, eps_tuple, iters, block, interpret, bm):
     n = vec.shape[0]
     kern = functools.partial(_solve_chain_kernel, n, eps_tuple, iters)
     return _call_rows(kern, (mat, vec, add), n, block, interpret,
-                      diag_rows=n, bm=bm)
+                      diag_rows=n, bm=bm, vmem_limit=_rolled_vmem(n))
 
 
 def _solve_chain_fwd(mat, vec, add, eps_tuple, iters, block, interpret, bm):
@@ -919,7 +965,7 @@ def _matvec_chain_cf(mat, vec, add, iters, block, interpret, bm):
     n = vec.shape[0]
     kern = functools.partial(_matvec_chain_kernel, n, iters)
     return _call_rows(kern, (mat, vec, add), n, block, interpret,
-                      diag_rows=0, bm=bm)
+                      diag_rows=0, bm=bm, vmem_limit=_rolled_vmem(n))
 
 
 def _matvec_chain_fwd(mat, vec, add, iters, block, interpret, bm):
@@ -1074,7 +1120,7 @@ def _maxeig_kernel(n, iters, renorm_every, mat_ref, vec_ref, out_ref):
         for i in range(n):
             out_ref[1 + i] = vs[i]
         return
-    # rolled tier (9 <= n <= 16): stacked (n, *lane) carry, masked matvec
+    # rolled tier (9 <= n <= 32): stacked (n, *lane) carry, masked matvec
     lane = E[0][0].shape
     A = jnp.stack([E[i][j] for i in range(n) for j in range(n)],
                   axis=0).reshape((n, n) + lane)
@@ -1108,7 +1154,7 @@ def _maxeig_cf(mat, vec, iters, block, interpret, bm, renorm_every):
     n = vec.shape[0]
     kern = functools.partial(_maxeig_kernel, n, iters, renorm_every)
     return _call_rows(kern, (mat, vec), n + 1, block, interpret,
-                      diag_rows=n, bm=bm)
+                      diag_rows=n, bm=bm, vmem_limit=_rolled_vmem(n))
 
 
 def _maxeig_replay(mat, vec, iters):
@@ -1302,7 +1348,7 @@ def _invert_cf(mat, block, interpret, bm=False):
     n = sym_dim(mat.shape[0])
     kern = functools.partial(_invert_kernel, n)
     return _call_rows(kern, (mat,), mat.shape[0], block, interpret,
-                      diag_rows=n, bm=bm)
+                      diag_rows=n, bm=bm, vmem_limit=_rolled_vmem(n))
 
 
 def _invert_cf_fwd(mat, block, interpret, bm=False):
@@ -1574,7 +1620,7 @@ def _det_sym_cf(mat, block, interpret, bm=False):
     n = sym_dim(mat.shape[0])
     kern = functools.partial(_det_sym_kernel, n)
     return _call_rows(kern, (mat,), 1, block, interpret, diag_rows=n,
-                      bm=bm)[0]
+                      bm=bm, vmem_limit=_rolled_vmem(n))[0]
 
 
 def _det_sym_cf_fwd(mat, block, interpret, bm=False):
@@ -1648,7 +1694,40 @@ def sym_det_cf(
 # --- congruence product J^T H J (jhj) ---------------------------------------
 
 
+#: fully unrolled congruence product through 6; rolled stacked-grid
+#: form (k + k static rank-1 broadcast FMA passes, O(k) traced ops)
+#: for 7 <= max(K, D) <= 32
+_JHJ_UNROLL_MAX = 6
+_JHJ_MAX_ROLLED = 32
+
+
 def _jhj_kernel(k, d, j_ref, h_ref, out_ref):
+    if max(k, d) > _JHJ_UNROLL_MAX:
+        # rolled stacked-grid tier: HJ = H @ J and G = J^T @ (HJ) as
+        # k static rank-1 broadcast FMAs each (the _mm_st idiom —
+        # rank-4 temps only; a single einsum would need a rank-5
+        # (k, k, d, lane) intermediate)
+        lane = j_ref[0].shape
+        J = jnp.stack([j_ref[a * d + i] for a in range(k)
+                       for i in range(d)], axis=0).reshape((k, d) + lane)
+        H = jnp.stack([h_ref[tri_index(a, b, k)] for a in range(k)
+                       for b in range(k)], axis=0).reshape((k, k) + lane)
+        HJ = None
+        for b in range(k):
+            term = H[:, b][:, None] * J[b][None, :]
+            HJ = term if HJ is None else HJ + term
+        G = None
+        for a in range(k):
+            term = J[a][:, None] * HJ[a][None, :]
+            G = term if G is None else G + term
+        for i in range(d):
+            out_ref[i] = G[i, i]
+        for i in range(d):
+            for jj in range(i + 1, d):
+                # exact inverse-transpose symmetry (G is symmetric in
+                # exact arithmetic; averaging removes roundoff skew)
+                out_ref[tri_index(i, jj, d)] = 0.5 * (G[i, jj] + G[jj, i])
+        return
     H = _entries_rows(h_ref, k)
     J = [[j_ref[a * d + i] for i in range(d)] for a in range(k)]
     HJ = [[None] * d for _ in range(k)]
@@ -1676,7 +1755,7 @@ def _jhj_cf(j2, h2, d, block, interpret, bm=False):
     k = sym_dim(h2.shape[0])
     kern = functools.partial(_jhj_kernel, k, d)
     return _call_rows(kern, (j2, h2), compact_size(d), block, interpret,
-                      bm=bm)
+                      bm=bm, vmem_limit=_rolled_vmem(max(k, d)))
 
 
 def _jhj_cf_fwd(j2, h2, d, block, interpret, bm=False):
@@ -1690,6 +1769,38 @@ def _jhj_cf_bwd(d, block, interpret, bm, res, g):
     #   Hbar[a][b](compact) folds J Gf J^T;  Jbar = 2 H J Gf.
     j2, h2 = res
     k = sym_dim(h2.shape[0])
+    if max(k, d) > _JHJ_UNROLL_MAX:
+        # batch-major MXU matmul form: the trace-time elementwise fold
+        # below emits ~2 k^2 d ops (65k+ at 32) — backward passes take
+        # batched dot_generals instead (cf. batched._inv_cf_bwd)
+        batch = j2.shape[1:]
+        Jm = jnp.moveaxis(j2, 0, -1).reshape(*batch, k, d)
+        rows = [
+            jnp.stack([h2[tri_index(a, b, k)] for b in range(k)], axis=-1)
+            for a in range(k)
+        ]
+        Hm = jnp.stack(rows, axis=-2)  # (..., k, k) symmetric
+        grows = [
+            jnp.stack(
+                [
+                    g[tri_index(i, jj, d)] if i == jj
+                    else 0.5 * g[tri_index(i, jj, d)]
+                    for jj in range(d)
+                ],
+                axis=-1,
+            )
+            for i in range(d)
+        ]
+        Gf = jnp.stack(grows, axis=-2)  # (..., d, d) halved off-diag
+        JG = Jm @ Gf  # (..., k, d)
+        Hbar = Jm @ jnp.swapaxes(JG, -1, -2)  # (..., k, k)
+        hrows = [Hbar[..., a, a] for a in range(k)]
+        hrows += [Hbar[..., a, b] + Hbar[..., b, a]
+                  for a in range(k) for b in range(a + 1, k)]
+        dh = jnp.stack(hrows, axis=0)
+        Jbar = 2.0 * (Hm @ JG)  # (..., k, d)
+        dj = jnp.moveaxis(Jbar.reshape(*batch, k * d), -1, 0)
+        return dj, dh
     J = [[j2[a * d + i] for i in range(d)] for a in range(k)]
     H = _entries_rows(h2, k)
     # symmetric expansion of the compact cotangent with off-diagonal
@@ -1746,12 +1857,15 @@ def sym_matmul_cf(
 ) -> jnp.ndarray:
     """Channel-first congruence product ``J^T H J``:
     ``j (K*D, ...)`` row-major full, ``h (K(K+1)/2, ...)`` compact ->
-    ``(D(D+1)/2, ...)`` compact (Pallas; K, D <= 6, matching the XLA
-    tier's unroll gate).
+    ``(D(D+1)/2, ...)`` compact (Pallas; fully unrolled K, D <= 6 —
+    the XLA tier's unroll gate — rolled stacked-grid form for
+    7 <= max(K, D) <= 32: two passes of k static rank-1 broadcast
+    FMAs, the ``_mm_st`` idiom).
 
     Native-tier analog of :func:`fastmath_tpu.ops.sym.sym_matmul`
     (reference jhj kernels, ``_impl/sym.py:637-670``), with a
-    hand-derived compact-cotangent VJP.
+    hand-derived compact-cotangent VJP (batch-major MXU matmul form
+    on the rolled tier).
     """
     j, h, half = upcast_half(j, h)
     k = sym_dim(h.shape[0])
@@ -1760,12 +1874,17 @@ def sym_matmul_cf(
             f"j channel count {j.shape[0]} is not a multiple of K={k}"
         )
     d = j.shape[0] // k
-    if k > 6 or d > 6:
-        raise ValueError("pallas sym_matmul_cf implements K, D <= 6")
+    if max(k, d) > _JHJ_MAX_ROLLED:
+        raise ValueError(
+            f"pallas sym_matmul_cf implements K, D <= {_JHJ_MAX_ROLLED}")
     if block is None:
-        block = DEFAULT_BLOCK if max(k, d) <= 4 else 4096
+        block = (DEFAULT_BLOCK if max(k, d) <= 4
+                 else (4096 if max(k, d) <= _JHJ_UNROLL_MAX else 1024))
     if interpret is None:
         interpret = _interpret_default()
+    if max(k, d) > _JHJ_UNROLL_MAX and not interpret:
+        # stacked-grid sublane rule: block/128 must be a multiple of 8
+        block = max(1024, (block // 1024) * 1024)
     batch_shape = np.broadcast_shapes(j.shape[1:], h.shape[1:])
     dtype = jnp.result_type(j, h)
     j = jnp.broadcast_to(j.astype(dtype), (j.shape[0], *batch_shape))

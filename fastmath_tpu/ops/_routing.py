@@ -9,9 +9,10 @@ Pallas kernel in the regimes where the kernel wins, measured on this
 hardware (``BENCH_MEASURED.md``, CLAUDE.md perf lore):
 
 * **register-resident iteration** (pivoted-LU solve/invert/det at
-  5 <= N <= 8, rolled stacked-grid PLU 9 <= N <= 16, eig to N <= 16,
-  expm/logm): Pallas beats fused XLA 10-70x — route whenever the
-  batch is big enough to fill a lane block;
+  5 <= N <= 8, rolled stacked-grid PLU 9 <= N <= 32, eig to N <= 32,
+  expm/logm, rolled Cholesky and congruence-product (JhJ) tiers at
+  17/7 <= N <= 32): Pallas beats fused XLA 10-70x — route whenever
+  the batch is big enough to fill a lane block;
 * **N <= 4 closed forms**: one fused XLA kernel is already at the
   dispatch/bandwidth bound and *chains* better (``lax.scan`` of
   dependent solves reaches 70% of the stream ceiling); Pallas only

@@ -33,14 +33,15 @@ from .sym import _det_expand  # shared trace-time Laplace expansion
 
 #: largest n served by the Pallas full-matrix tier
 #: (kernels/batched_pallas.py: unrolled register PLU to 8, rolled
-#: stacked-grid PLU 9..16 — the BASELINE <=16x16 gate)
-_PALLAS_MAX_N = 16
+#: stacked-grid PLU 9..32 — n <= 16 is the BASELINE gate, 17..32
+#: removes the cap the reference's jitfields kernels never had)
+_PALLAS_MAX_N = 32
 
 
 def _route_full(backend, n, dtype, batch, auto=True, n_max=_PALLAS_MAX_N):
     """Routing decision for the full-storage batched ops (mirrors
     ``ops/sym.py:_route_compact``). ``n_max`` is the calling op's
-    kernel cap (16 for the PLU family, 8 for Cholesky) so a forced
+    kernel cap (32 for both the PLU and Cholesky families) so a forced
     ``backend="pallas"`` raises from the routing layer with the right
     bound instead of deep inside the kernel wrapper."""
     supported = (
@@ -147,7 +148,7 @@ def _plu_rolled(a: jnp.ndarray):
     """``fori_loop``-rolled batched LU with partial pivoting — the same
     scatter-free one-hot elimination as :func:`_plu_unrolled`, with the
     step index ``k`` traced instead of unrolled (O(1) compile time; used
-    for 9 <= n <= 16 where full unrolling takes minutes to compile).
+    for 9 <= n <= 32 where full unrolling takes minutes to compile).
 
     Returns the same ``(lu, perm, parity)`` packing.
     """
@@ -238,7 +239,7 @@ def batchdet(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """Batched determinant ``(..., n, n) -> (...)``.
 
     Closed form (one fused kernel) for n <= 4, unrolled pivoted LU for
-    n <= 8, fori_loop-rolled PLU for n <= 16, ``jnp.linalg.det``
+    n <= 8, fori_loop-rolled PLU for n <= 32, ``jnp.linalg.det``
     beyond. ``backend="auto"`` dispatches to the Pallas in-register
     tier on TPU where it wins (5 <= n <= 8 always; n <= 4 at >= 8M
     batches — see ``ops/_routing.py``). Reference analog:
@@ -272,7 +273,7 @@ def batchinv(
 
     Closed form (adjugate / det) for n <= 4, unrolled pivoted LU for
     n <= 8 (~50x XLA's blocked path on TPU), fori_loop-rolled PLU for
-    n <= 16, ``jnp.linalg.inv`` beyond. ``backend="auto"`` dispatches
+    n <= 32, ``jnp.linalg.inv`` beyond. ``backend="auto"`` dispatches
     to the Pallas in-register PLU on TPU where it wins (see
     :func:`batchdet`; ``regularize=True`` pins the XLA path — the
     kernel has no determinant-smoothing knob).
@@ -385,7 +386,7 @@ def batchlmdiv(
 
     ``b`` may be a vector ``(..., n)`` or a matrix ``(..., n, k)``.
     Closed-form adjugate solve for n <= 4, unrolled pivoted-LU solve
-    for n <= 8, fori_loop-rolled PLU for n <= 16, ``jnp.linalg.solve``
+    for n <= 8, fori_loop-rolled PLU for n <= 32, ``jnp.linalg.solve``
     beyond. ``backend="auto"`` dispatches 5 <= n <= 8 (k <= 8 RHS
     columns) to the Pallas in-register PLU solve
     (:func:`fastmath_tpu.kernels.solve_full_cf`) on TPU — the fused
@@ -469,14 +470,18 @@ def batchchol(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     ``jnp.linalg.cholesky`` beyond. Unlike the pivoted ops, the
     unrolled Cholesky is branch-free elementwise work XLA fuses at
     full stream rate — measured 3.2e8 vs 1.1e8 chol/s routed at 8x8
-    on v5e — so ``auto`` == ``xla`` here and only an explicit
-    ``backend="pallas"`` reaches the kernel (compact in/out via a
-    pack/unpack pass either side).
+    on v5e — so ``auto`` == ``xla`` through n <= 16. At 17 <= n <= 32
+    XLA has no unrolled form (batched blocked cholesky is dispatch-
+    bound, like batched LU) and ``auto`` routes to the rolled
+    stacked-grid Pallas kernel on TPU; an explicit
+    ``backend="pallas"`` reaches the kernel at any n <= 32 (compact
+    in/out via a pack/unpack pass either side).
     (North-star extension, ``BASELINE.json`` configs[2].)
     """
     a, half = upcast_half(a)
     n = a.shape[-1]
-    if _route_full(backend, n, a.dtype, _nb(a), auto=False, n_max=8):
+    if _route_full(backend, n, a.dtype, _nb(a), auto=n > _CHOL_UNROLL_MAX,
+                   n_max=_PALLAS_MAX_N):
         from ..kernels.batched_pallas import chol_cf
         from ..layouts.sym import full_to_sym, tri_index
 
@@ -519,9 +524,9 @@ def batchlogdet(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """Batched ``log |det A|`` ``(..., n, n) -> (...)``.
 
     Closed form via the n <= 4 determinant, unrolled pivoted LU for
-    n <= 8, fori_loop-rolled PLU for n <= 16, ``jnp.linalg.slogdet``
+    n <= 8, fori_loop-rolled PLU for n <= 32, ``jnp.linalg.slogdet``
     beyond. ``backend="auto"`` dispatches to the Pallas in-register
-    PLU tier on TPU where it wins (5 <= n <= 16; the log of |diag U|
+    PLU tier on TPU where it wins (5 <= n <= 32; the log of |diag U|
     accumulates in registers). (North-star extension, ``BASELINE.json``
     configs[2].)
     """

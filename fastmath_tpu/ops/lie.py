@@ -96,10 +96,10 @@ def expm(X, basis=None, max_order: int = 10000, tol: float = 1e-32,
     accepted for API compatibility; the scaling-and-squaring core makes
     them unnecessary (accuracy is at working precision by construction).
 
-    ``backend``: ``"auto"`` routes real d <= 16 input to the one-pass
+    ``backend``: ``"auto"`` routes real d <= 32 input to the one-pass
     Pallas register kernel on TPU (:func:`fastmath_tpu.kernels.expm_cf`;
     5 <= d <= 8 runs the same Taylor-Horner core on larger register
-    grids, 9 <= d <= 16 rolls it on stacked grids);
+    grids, 9 <= d <= 32 rolls it on stacked grids);
     ``"pallas"`` / ``"xla"`` force a path. The Pallas path
     carries a custom VJP (reverse-mode only); for forward-mode AD
     (``jax.jvp`` / ``jacfwd``) use ``backend="xla"`` or
@@ -115,9 +115,9 @@ def expm(X, basis=None, max_order: int = 10000, tol: float = 1e-32,
     d = X.shape[-1]
     if backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown backend {backend!r}")
-    pallas_ok = d <= 16 and not jnp.issubdtype(X.dtype, jnp.complexfloating)
+    pallas_ok = d <= 32 and not jnp.issubdtype(X.dtype, jnp.complexfloating)
     if backend == "pallas" and not pallas_ok:
-        raise ValueError("backend='pallas' requires real input with d <= 16")
+        raise ValueError("backend='pallas' requires real input with d <= 32")
     if backend == "pallas" or (
         backend == "auto" and pallas_ok and jax.default_backend() == "tpu"
     ):
@@ -408,7 +408,7 @@ def _logm_exceptional(A):
 
 
 def _logm_plain(mat):
-    """The regular-case batched log: register kernel (d <= 16 on TPU)
+    """The regular-case batched log: register kernel (d <= 24 on TPU)
     or device ISS, NO exceptional-branch rescue. Returns ``(L, ok)``
     with non-converged / branch-cut lanes NaN and ``ok`` False.
     :func:`meanm` iterates on this directly: the rescue's ``lax.cond``
@@ -423,7 +423,7 @@ def _logm_plain(mat):
         A = A.astype(jnp.result_type(float))
     d = A.shape[-1]
     is_complex = jnp.issubdtype(A.dtype, jnp.complexfloating)
-    if not is_complex and d <= 16 and jax.default_backend() == "tpu":
+    if not is_complex and d <= 24 and jax.default_backend() == "tpu":
         # one-memory-pass register kernel (kernels/logm_pallas.py);
         # non-converged lanes come back NaN and are rescued below
         from ..kernels.logm_pallas import logm_cf

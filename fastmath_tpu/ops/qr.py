@@ -564,7 +564,7 @@ def _eig_pallas_wu_bwd(sweeps, res, cot):
 
 _eig_pallas_wu.defvjp(_eig_pallas_wu_fwd, _eig_pallas_wu_bwd)
 
-_EIG_PALLAS_MAX_N = 16
+_EIG_PALLAS_MAX_N = 32
 
 
 def eig_sym(
@@ -584,10 +584,10 @@ def eig_sym(
     Returns ``s`` or ``(s, u)``. ``upper`` selects which triangle to
     trust. Reference analog: ``qr.py:30-100`` / ``_impl/qr.py:660-735``.
 
-    ``backend``: ``"auto"`` routes real input with n <= 16 to the
+    ``backend``: ``"auto"`` routes real input with n <= 32 to the
     lane-packed Pallas kernels on TPU (unrolled register cyclic Jacobi
     n <= 8, ~19x the XLA path at 4x4; rolled parallel-order Jacobi on
-    stacked grids 9 <= n <= 16 — ``BENCH_MEASURED.md``) and uses fused
+    stacked grids 9 <= n <= 32 — ``BENCH_MEASURED.md``) and uses fused
     XLA otherwise; ``"pallas"`` / ``"xla"`` force a path. Both paths
     carry the Giles custom VJP.
     """
@@ -625,7 +625,7 @@ def eig_sym(
         return w if u is None else (w, u)
 
     if use_pallas:
-        # n <= 8: unrolled register cyclic Jacobi; 9 <= n <= 16: rolled
+        # n <= 8: unrolled register cyclic Jacobi; 9 <= n <= 32: rolled
         # parallel-order Jacobi on stacked grids (kernels/eig_pallas.py).
         # Caps only — both kernels exit on the Frobenius-relative test.
         sweeps = 8 if n <= 4 else (10 if n <= 8 else 14)

@@ -72,9 +72,10 @@ _CLOSED_FORM_MAX = 4
 _UNROLL_MATVEC_MAX = 8
 # N <= this is served by the Pallas native tier (kernels/sym_pallas.py)
 _PALLAS_MAX_N = 8
-# solve/invert/det reach N <= 16 via the rolled stacked-grid PLU
-# (kernels/sym_pallas.py MAX_N_ROLLED; the BASELINE <=16x16 gate)
-_PALLAS_ROLLED_MAX_N = 16
+# solve/invert/det reach N <= 32 via the rolled stacked-grid PLU
+# (kernels/sym_pallas.py MAX_N_ROLLED; N <= 16 is the BASELINE gate,
+# 17..32 matches jitfields' uncapped kernels)
+_PALLAS_ROLLED_MAX_N = 32
 
 from ..core.dtypes import downcast as _downcast, upcast_half
 from ._routing import nbatch as _nbatch, use_pallas as _use_pallas
@@ -806,7 +807,7 @@ def _sym_invert_impl(mat, diag):
         return jnp.stack(diag_entries + upper_entries, axis=-1)
     from .batched import batchinv
 
-    full = batchinv(sym_to_full(mat, n))  # unrolled PLU for n <= 16
+    full = batchinv(sym_to_full(mat, n))  # PLU tiers for n <= 32
     if diag:
         return jnp.diagonal(full, axis1=-2, axis2=-1)
     return full_to_sym(full)
@@ -837,6 +838,9 @@ def sym_outer(x: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
 
 
 _JHJ_UNROLL_MAX = 6
+# the Pallas congruence kernel's rolled stacked-grid tier
+# (kernels/sym_pallas.py _JHJ_MAX_ROLLED)
+_JHJ_MAX_ROLLED = 32
 
 
 def sym_matmul(
@@ -848,8 +852,11 @@ def sym_matmul(
     compact; returns ``(..., D(D+1)/2)`` compact. For K, D <= 6 the
     double contraction unrolls at trace time straight on the compact
     slots (a per-item KxD einsum occupies a 128x128 MXU tile almost
-    entirely with padding — same pathology as ``batchmatmul``);
-    densify + einsum beyond (MXU-friendly for large K/D).
+    entirely with padding — same pathology as ``batchmatmul``); for
+    7 <= max(K, D) <= 32 ``backend="auto"`` routes to the rolled
+    stacked-grid Pallas kernel on TPU (two passes of K rank-1
+    broadcast FMAs, VPU lane-parallel — no MXU tile padding);
+    densify + einsum beyond.
     Reference analog: ``_impl/sym.py:637-670`` (jhj kernels).
     """
     j, h, half = upcast_half(j, h)
@@ -860,12 +867,16 @@ def sym_matmul(
             f"{compact_size(k)} for K={k}"
         )
     d = j.shape[-1]
-    # the trace-time unrolled XLA form fuses and is compute-dense;
-    # auto == xla (only backend="pallas" reaches the kernel, K, D <= 6)
+    # K, D <= 6: the trace-time unrolled XLA form fuses and is
+    # compute-dense, so auto == xla; beyond 6 the XLA path is a
+    # densify + einsum whose tiny per-item matmuls pad the MXU tile —
+    # the rolled stacked-grid kernel (7 <= max(K, D) <= 32) wins
+    # there, so auto routes it on TPU. backend="pallas" forces either.
     if _route_compact(backend, MatrixLayout.COMPACT_SYM, max(k, d),
                       jnp.result_type(j, h),
                       _nbatch(j.reshape(*j.shape[:-2], k * d), h),
-                      n_max=_JHJ_UNROLL_MAX, auto=False):
+                      n_max=_JHJ_MAX_ROLLED,
+                      auto=max(k, d) > _JHJ_UNROLL_MAX):
         from ..kernels.sym_pallas import sym_matmul_cf
 
         j2 = jnp.moveaxis(j.reshape(*j.shape[:-2], k * d), -1, 0)

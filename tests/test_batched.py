@@ -273,13 +273,22 @@ class TestReviewRegressions:
         with pytest.raises(ValueError):
             batchlmdiv(a, b9, backend="pallas")  # k=9 > cap 8 at n=8
 
-    def test_chol_forced_pallas_cap_raises(self, rng):
+    def test_chol_forced_pallas_rolled_and_cap(self, rng):
         import jax.numpy as jnp
         import pytest
         from fastmath_tpu.ops.batched import batchchol
 
+        # 9 <= n <= 32 is served by the rolled stacked-grid tier
         a = rng.standard_normal((4, 9, 9))
         a = jnp.asarray(np.einsum("...ij,...kj->...ik", a, a)
                         + 9 * np.eye(9))
-        with pytest.raises(ValueError, match="n <= 8"):
-            batchchol(a, backend="pallas")
+        got = np.asarray(batchchol(a, backend="pallas"))
+        np.testing.assert_allclose(
+            got, np.linalg.cholesky(np.asarray(a, np.float64)),
+            rtol=1e-4, atol=1e-5)
+        assert np.triu(got, 1).max() == 0.0  # exact zeros above diag
+        big = rng.standard_normal((2, 33, 33))
+        big = jnp.asarray(np.einsum("...ij,...kj->...ik", big, big)
+                          + 33 * np.eye(33))
+        with pytest.raises(ValueError, match="n <= 32"):
+            batchchol(big, backend="pallas")

@@ -120,12 +120,12 @@ def test_backend_validation():
     # pallas on an unsupported layout (diagonal) must raise, not fall back
     with pytest.raises(ValueError):
         S.sym_solve(jnp.ones((8, 3)), v, backend="pallas")
-    # pallas beyond the kernel's N cap (16, the rolled tier) must raise
-    big = jnp.ones((8, 17 * 18 // 2))
+    # pallas beyond the kernel's N cap (32, the rolled tier) must raise
+    big = jnp.ones((8, 33 * 34 // 2))
     with pytest.raises(ValueError):
-        S.sym_solve(big, jnp.ones((8, 17)), backend="pallas")
+        S.sym_solve(big, jnp.ones((8, 33)), backend="pallas")
     with pytest.raises(ValueError):
-        B.batchinv(jnp.ones((8, 17, 17)), backend="pallas")
+        B.batchinv(jnp.ones((8, 33, 33)), backend="pallas")
     with pytest.raises(ValueError):
         B.batchinv(jnp.ones((8, 3, 3)), regularize=True, backend="pallas")
 

@@ -35,8 +35,17 @@ def _compact(full):
     return jnp.asarray(np.asarray(full_to_sym(jnp.asarray(full))))
 
 
-@pytest.mark.parametrize("n", [4, 8])
+def _skip_big_on_cpu(n):
+    # n > 16 interpret runs at _B = 1024 cost minutes on the 1-core CI
+    # VM; CPU coverage of the 17..32 tier lives in test_rolled32.py
+    # (B = 192) — here the point is the hardware Mosaic lowering
+    if n > 16 and jax.default_backend() != "tpu":
+        pytest.skip("n>16 smoke is TPU-only (CPU: test_rolled32.py)")
+
+
+@pytest.mark.parametrize("n", [4, 8, 24])
 def test_smoke_sym_solve_pallas(rng, n):
+    _skip_big_on_cpu(n)
     spd = _spd(rng, _B, n)
     v = rng.standard_normal((_B, n)).astype(np.float32)
     got = np.asarray(
@@ -76,19 +85,28 @@ def test_smoke_sym_invert_pallas(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
 
 
-def test_smoke_batchinv_pallas(rng):
-    spd = _spd(rng, _B, 8)
-    got = np.asarray(B.batchinv(jnp.asarray(spd), backend="pallas"))
-    np.testing.assert_allclose(got, np.linalg.inv(spd.astype(np.float64)),
-                               rtol=2e-4, atol=1e-5)
+@pytest.mark.parametrize("n", [8, 20])
+def test_smoke_batchinv_pallas(rng, n):
+    _skip_big_on_cpu(n)
+    spd = _spd(rng, _B, n)
+    got = np.asarray(B.batchinv(jnp.asarray(spd), backend="pallas"),
+                     np.float64)
+    want = np.linalg.inv(spd.astype(np.float64))
+    nw = (np.linalg.norm(got - want, axis=(-2, -1))
+          / np.linalg.norm(want, axis=(-2, -1)))
+    assert nw.max() < 1e-5
 
 
-def test_smoke_batchchol_pallas(rng):
-    spd = _spd(rng, _B, 6)
-    got = np.asarray(B.batchchol(jnp.asarray(spd), backend="pallas"))
-    np.testing.assert_allclose(got,
-                               np.linalg.cholesky(spd.astype(np.float64)),
-                               rtol=1e-4, atol=1e-5)
+@pytest.mark.parametrize("n", [6, 24])
+def test_smoke_batchchol_pallas(rng, n):
+    _skip_big_on_cpu(n)
+    spd = _spd(rng, _B, n)
+    got = np.asarray(B.batchchol(jnp.asarray(spd), backend="pallas"),
+                     np.float64)
+    want = np.linalg.cholesky(spd.astype(np.float64))
+    nw = (np.linalg.norm(got - want, axis=(-2, -1))
+          / np.linalg.norm(want, axis=(-2, -1)))
+    assert nw.max() < 1e-5
 
 
 def test_smoke_eig_pallas(rng):
@@ -99,9 +117,11 @@ def test_smoke_eig_pallas(rng):
     assert np.abs(w - ww).max() / np.abs(ww).max() < 1e-5
 
 
-def test_smoke_eig16_pallas(rng):
-    """Rolled parallel-order Jacobi tier (9 <= n <= 16)."""
-    spd = _spd(rng, _B, 16)
+@pytest.mark.parametrize("n", [16, 24])
+def test_smoke_eig16_pallas(rng, n):
+    """Rolled parallel-order Jacobi tier (9 <= n <= 32)."""
+    _skip_big_on_cpu(n)
+    spd = _spd(rng, _B, n)
     w = np.sort(np.asarray(Q.eig_sym(jnp.asarray(spd), check_finite=False,
                                      backend="pallas")), -1)
     ww = np.sort(np.linalg.eigvalsh(spd.astype(np.float64)), -1)
@@ -134,9 +154,12 @@ def test_smoke_expm_logm_pallas(rng, d):
     assert np.median(relk) < 1e-5
 
 
-def test_smoke_jhj_pallas(rng):
-    j = rng.standard_normal((_B, 5, 4)).astype(np.float32)
-    h = _spd(rng, _B, 5)
+@pytest.mark.parametrize("kd", [(5, 4), (24, 16)])
+def test_smoke_jhj_pallas(rng, kd):
+    k, d = kd
+    _skip_big_on_cpu(k)
+    j = rng.standard_normal((_B, k, d)).astype(np.float32)
+    h = _spd(rng, _B, k)
     got = np.asarray(S.sym_matmul(jnp.asarray(j), _compact(h),
                                   backend="pallas"), np.float64)
     want64 = np.einsum("...ki,...kl,...lj->...ij", j.astype(np.float64),
@@ -153,9 +176,13 @@ def test_smoke_backend_report():
     assert jax.default_backend() in ("tpu", "cpu")
 
 
-def test_smoke_sym_maxeig_pallas(rng):
-    """Fused power-iteration kernel (dominant eigenpair)."""
-    n = 6
+@pytest.mark.parametrize("n", [6, 12, 24])
+def test_smoke_sym_maxeig_pallas(rng, n):
+    """Fused power-iteration kernel (dominant eigenpair) — unrolled
+    (n <= 8) and rolled stacked-grid (9 <= n <= 32) tiers. The planted
+    rank-1 spike keeps the eigen-gap large so 64 iterations converge
+    to the max-gate on every lane."""
+    _skip_big_on_cpu(n)
     spd = _spd(rng, _B, n)
     u = rng.standard_normal((_B, n)).astype(np.float32)
     u /= np.linalg.norm(u, axis=-1, keepdims=True)
@@ -168,9 +195,12 @@ def test_smoke_sym_maxeig_pallas(rng):
     assert rel.max() < 1e-4
 
 
-def test_smoke_sym_matvec_chain_pallas(rng):
-    """Fused Richardson/Neumann matvec chain kernel."""
-    n, k = 4, 8
+@pytest.mark.parametrize("n", [4, 12, 24])
+def test_smoke_sym_matvec_chain_pallas(rng, n):
+    """Fused Richardson/Neumann matvec chain kernel — unrolled and
+    rolled stacked-grid tiers."""
+    _skip_big_on_cpu(n)
+    k = 8
     a = rng.standard_normal((_B, n, n)).astype(np.float32)
     A = ((a + a.swapaxes(-1, -2)) / (6 * n)).astype(np.float32)
     v = rng.standard_normal((_B, n)).astype(np.float32)
