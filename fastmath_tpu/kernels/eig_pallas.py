@@ -300,8 +300,10 @@ def eig_sym_cf(
         # lane rows live at once — cap the block so ~5 n^2 rows x 4 B
         # x block stays inside scoped VMEM (cf. _plu_rolled's 1024;
         # 1024 is also the floor: the sublane dim bb = block/128 must
-        # be a multiple of 8 for the Mosaic block layout)
-        block = min(block, 1024)
+        # be a multiple of 8 for the Mosaic block layout — so the
+        # rolled tier pins block = 1024 exactly, ceiling AND floor
+        # (a caller's smaller block would compile-error in Mosaic)
+        block = 1024
         kern = functools.partial(
             _eig_rolled_kernel, n, int(sweeps), bool(compute_u))
     else:

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sym_pallas import DEFAULT_BLOCK, _call_rows, _interpret_default
+from .sym_pallas import (DEFAULT_BLOCK, _call_rows, _interpret_default,
+                         _sublane_block)
 
 __all__ = ["expm_cf"]
 
@@ -262,9 +263,9 @@ def expm_cf(
     if interpret is None:
         interpret = _interpret_default()
     if d > _MAX_D and not interpret:
-        # stacked-grid sublane rule: block/128 must be a multiple of 8
-        # on real TPU (interpret mode has no such constraint)
-        block = max(1024, (block // 1024) * 1024)
+        # stacked-grid sublane rule on real TPU (interpret mode has no
+        # such constraint)
+        block = _sublane_block(block)
     batch_shape = mat.shape[1:]
     out = _expm_cf(mat.reshape(mat.shape[0], -1), block, bool(interpret))
     return out.reshape(mat.shape[0], *batch_shape)

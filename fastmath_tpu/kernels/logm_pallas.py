@@ -26,6 +26,7 @@ from .expm_pallas import _eye_st, _mm_st
 from .sym_pallas import (
     _call_rows,
     _interpret_default,
+    _sublane_block,
     _plu_grid_solve,
     _plu_rolled,
     _plu_rolled_backsub,
@@ -342,9 +343,9 @@ def logm_cf(
     if interpret is None:
         interpret = _interpret_default()
     if d > _MAX_D and not interpret:
-        # stacked-grid sublane rule: block/128 must be a multiple of 8
-        # on real TPU (interpret mode has no such constraint)
-        block = max(1024, (block // 1024) * 1024)
+        # stacked-grid sublane rule on real TPU (interpret mode has no
+        # such constraint)
+        block = _sublane_block(block)
     order = 21 if jnp.finfo(mat.dtype).eps < 1e-10 else 9
     db_tol = float(jnp.finfo(mat.dtype).eps) * 8 * d
     batch_shape = mat.shape[1:]

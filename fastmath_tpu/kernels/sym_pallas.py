@@ -72,6 +72,15 @@ def _rolled_vmem(n: int):
     return 64 * 1024 * 1024 if n > 16 else None
 
 
+def _sublane_block(block: int) -> int:
+    """Clamp a caller block size to the stacked-grid sublane rule: the
+    Mosaic block layout needs ``bb = block / 128`` to be a multiple of
+    8, i.e. ``block`` a multiple of 1024 (and >= 1024). Shared by every
+    rolled stacked-grid kernel (PLU/chol/JhJ here, eig/expm/logm in
+    their modules)."""
+    return max(1024, (block // 1024) * 1024)
+
+
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -1773,13 +1782,11 @@ def _jhj_cf_bwd(d, block, interpret, bm, res, g):
         # batch-major MXU matmul form: the trace-time elementwise fold
         # below emits ~2 k^2 d ops (65k+ at 32) — backward passes take
         # batched dot_generals instead (cf. batched._inv_cf_bwd)
+        from ..layouts.sym import sym_to_full
+
         batch = j2.shape[1:]
         Jm = jnp.moveaxis(j2, 0, -1).reshape(*batch, k, d)
-        rows = [
-            jnp.stack([h2[tri_index(a, b, k)] for b in range(k)], axis=-1)
-            for a in range(k)
-        ]
-        Hm = jnp.stack(rows, axis=-2)  # (..., k, k) symmetric
+        Hm = sym_to_full(jnp.moveaxis(h2, 0, -1), k)  # (..., k, k)
         grows = [
             jnp.stack(
                 [
@@ -1883,8 +1890,8 @@ def sym_matmul_cf(
     if interpret is None:
         interpret = _interpret_default()
     if max(k, d) > _JHJ_UNROLL_MAX and not interpret:
-        # stacked-grid sublane rule: block/128 must be a multiple of 8
-        block = max(1024, (block // 1024) * 1024)
+        # stacked-grid sublane rule (see _sublane_block)
+        block = _sublane_block(block)
     batch_shape = np.broadcast_shapes(j.shape[1:], h.shape[1:])
     dtype = jnp.result_type(j, h)
     j = jnp.broadcast_to(j.astype(dtype), (j.shape[0], *batch_shape))

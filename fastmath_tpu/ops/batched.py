@@ -238,12 +238,15 @@ def _range_regularizer(a: jnp.ndarray):
 def batchdet(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """Batched determinant ``(..., n, n) -> (...)``.
 
-    Closed form (one fused kernel) for n <= 4, unrolled pivoted LU for
-    n <= 8, fori_loop-rolled PLU for n <= 32, ``jnp.linalg.det``
-    beyond. ``backend="auto"`` dispatches to the Pallas in-register
-    tier on TPU where it wins (5 <= n <= 8 always; n <= 4 at >= 8M
-    batches — see ``ops/_routing.py``). Reference analog:
+    XLA tier: closed form (one fused kernel) for n <= 4, unrolled
+    pivoted LU for n <= 8, fori_loop-rolled PLU for n <= 16
+    (``LU_UNROLL_MAX``), ``jnp.linalg.det`` beyond. ``backend="auto"``
+    dispatches to the Pallas in-register tier on TPU where it wins
+    (5 <= n <= 32; n <= 4 at >= 8M batches — see ``ops/_routing.py``). Reference analog:
     ``_impl/batched.py:21-64``.
+    The routed Pallas path carries a custom VJP (reverse-mode
+    only); forward-mode AD (``jax.jvp`` / ``jacfwd``) needs
+    ``backend="xla"``.
     """
     a, half = upcast_half(a)
     n = a.shape[-1]
@@ -271,15 +274,19 @@ def batchinv(
 ) -> jnp.ndarray:
     """Batched inverse ``(..., n, n) -> (..., n, n)``.
 
-    Closed form (adjugate / det) for n <= 4, unrolled pivoted LU for
-    n <= 8 (~50x XLA's blocked path on TPU), fori_loop-rolled PLU for
-    n <= 32, ``jnp.linalg.inv`` beyond. ``backend="auto"`` dispatches
-    to the Pallas in-register PLU on TPU where it wins (see
+    XLA tier: closed form (adjugate / det) for n <= 4, unrolled
+    pivoted LU for n <= 8 (~50x XLA's blocked path on TPU),
+    fori_loop-rolled PLU for n <= 16 (``LU_UNROLL_MAX``),
+    ``jnp.linalg.inv`` beyond. ``backend="auto"`` dispatches to the
+    Pallas in-register PLU on TPU where it wins (5 <= n <= 32; see
     :func:`batchdet`; ``regularize=True`` pins the XLA path — the
     kernel has no determinant-smoothing knob).
     ``regularize=True`` (closed-form path only) enables the reference's range-scaled ``1e-12``
     determinant smoothing (``_impl/batched.py:74-77,93-96``); default off.
     Reference analog: ``_impl/batched.py:67-151``.
+    The routed Pallas path carries a custom VJP (reverse-mode
+    only); forward-mode AD (``jax.jvp`` / ``jacfwd``) needs
+    ``backend="xla"``.
     """
     a, half = upcast_half(a)
     n = a.shape[-1]
@@ -385,14 +392,18 @@ def batchlmdiv(
     r"""Batched left division ``A \ b`` for small full matrices.
 
     ``b`` may be a vector ``(..., n)`` or a matrix ``(..., n, k)``.
-    Closed-form adjugate solve for n <= 4, unrolled pivoted-LU solve
-    for n <= 8, fori_loop-rolled PLU for n <= 32, ``jnp.linalg.solve``
-    beyond. ``backend="auto"`` dispatches 5 <= n <= 8 (k <= 8 RHS
-    columns) to the Pallas in-register PLU solve
+    XLA tier: closed-form adjugate solve for n <= 4, pivoted-LU solve
+    (unrolled n <= 8, fori_loop-rolled 9..16, ``LU_UNROLL_MAX``),
+    ``jnp.linalg.solve`` beyond. ``backend="auto"`` dispatches
+    5 <= n <= 32 (k <= 8 RHS columns through n = 8, k <= 16 beyond)
+    to the Pallas in-register PLU solve
     (:func:`fastmath_tpu.kernels.solve_full_cf`) on TPU — the fused
     XLA PLU tier is dispatch/layout-bound ~20x below it.
     (North-star extension; the reference routes this through
     ``sugar.lmdiv``.)
+    The routed Pallas path carries a custom VJP (reverse-mode
+    only); forward-mode AD (``jax.jvp`` / ``jacfwd``) needs
+    ``backend="xla"``.
     """
     a, b, half = upcast_half(a, b)
     n = a.shape[-1]
@@ -477,6 +488,9 @@ def batchchol(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     ``backend="pallas"`` reaches the kernel at any n <= 32 (compact
     in/out via a pack/unpack pass either side).
     (North-star extension, ``BASELINE.json`` configs[2].)
+    The routed Pallas path carries a custom VJP (reverse-mode
+    only); forward-mode AD (``jax.jvp`` / ``jacfwd``) needs
+    ``backend="xla"``.
     """
     a, half = upcast_half(a)
     n = a.shape[-1]
@@ -523,12 +537,16 @@ def batchchol(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
 def batchlogdet(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """Batched ``log |det A|`` ``(..., n, n) -> (...)``.
 
-    Closed form via the n <= 4 determinant, unrolled pivoted LU for
-    n <= 8, fori_loop-rolled PLU for n <= 32, ``jnp.linalg.slogdet``
-    beyond. ``backend="auto"`` dispatches to the Pallas in-register
+    XLA tier: closed form via the n <= 4 determinant, unrolled
+    pivoted LU for n <= 8, fori_loop-rolled PLU for n <= 16
+    (``LU_UNROLL_MAX``), ``jnp.linalg.slogdet`` beyond.
+    ``backend="auto"`` dispatches to the Pallas in-register
     PLU tier on TPU where it wins (5 <= n <= 32; the log of |diag U|
     accumulates in registers). (North-star extension, ``BASELINE.json``
     configs[2].)
+    The routed Pallas path carries a custom VJP (reverse-mode
+    only); forward-mode AD (``jax.jvp`` / ``jacfwd``) needs
+    ``backend="xla"``.
     """
     a, half = upcast_half(a)
     n = a.shape[-1]

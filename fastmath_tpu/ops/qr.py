@@ -590,6 +590,9 @@ def eig_sym(
     stacked grids 9 <= n <= 32 — ``BENCH_MEASURED.md``) and uses fused
     XLA otherwise; ``"pallas"`` / ``"xla"`` force a path. Both paths
     carry the Giles custom VJP.
+    The routed Pallas path carries a custom VJP (reverse-mode
+    only); forward-mode AD (``jax.jvp`` / ``jacfwd``) needs
+    ``backend="xla"``.
     """
     a = _check_finite_square(a, check_finite)
     from ..core.dtypes import upcast_half

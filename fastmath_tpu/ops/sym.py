@@ -744,6 +744,9 @@ def sym_det(mat: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     ``jnp.linalg.det`` beyond. ``backend`` routes exactly like
     :func:`sym_solve` (the Pallas tier wins on the register-resident
     PLU at 5 <= N <= 8). Reference analog: ``_impl/sym.py:401-452``.
+    The routed Pallas path carries a custom VJP (reverse-mode
+    only); forward-mode AD (``jax.jvp`` / ``jacfwd``) needs
+    ``backend="xla"``.
     """
     mat, half = upcast_half(mat)
     n = sym_dim(mat.shape[-1])
@@ -770,6 +773,9 @@ def sym_invert(
     Reference analog: ``_impl/sym.py:455-493`` (there: N solves against
     identity columns; here: direct cofactor/adjugate for N <= 4,
     in-register pivoted LU for N <= 8, one batched full inverse beyond).
+    The routed Pallas path carries a custom VJP (reverse-mode
+    only); forward-mode AD (``jax.jvp`` / ``jacfwd``) needs
+    ``backend="xla"``.
     """
     mat, half = upcast_half(mat)
     n = sym_dim(mat.shape[-1])
@@ -858,6 +864,9 @@ def sym_matmul(
     broadcast FMAs, VPU lane-parallel — no MXU tile padding);
     densify + einsum beyond.
     Reference analog: ``_impl/sym.py:637-670`` (jhj kernels).
+    The routed Pallas path carries a custom VJP (reverse-mode
+    only); forward-mode AD (``jax.jvp`` / ``jacfwd``) needs
+    ``backend="xla"``.
     """
     j, h, half = upcast_half(j, h)
     k = j.shape[-2]

@@ -262,3 +262,40 @@ def test_public_routing_accepts_n32(rng):
                          np.asarray(v, np.float64)[..., None])[..., 0]
     nw = np.linalg.norm(x - wx, axis=-1) / np.linalg.norm(wx, axis=-1)
     assert nw.max() < 1e-5
+
+
+def test_eig_rolled_small_block_pinned(rng):
+    """The rolled eig tier pins block = 1024 (Mosaic sublane rule:
+    block/128 must be a multiple of 8): a caller's smaller block must
+    not leak through — regression for the min() clamp that let
+    block=512 reach the kernel."""
+    from fastmath_tpu.kernels.eig_pallas import eig_sym_cf
+
+    n, b = 12, 256
+    spd = _spd(rng, b, n)
+    cm = np.asarray(full_to_sym(jnp.asarray(spd))).T.copy()
+    w = eig_sym_cf(jnp.asarray(cm), block=512)
+    want = np.sort(np.linalg.eigvalsh(spd.astype(np.float64)), -1)
+    got = np.sort(np.asarray(w).T, -1)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_forward_mode_via_xla_backend(rng):
+    """The documented escape hatch for forward-mode AD: backend='xla'
+    keeps jax.jacfwd working at sizes the auto route would send to the
+    (reverse-mode-only) custom-VJP Pallas kernels on TPU."""
+    from fastmath_tpu.ops import batched as B
+
+    n, b = 18, 4
+    spd = _spd(rng, b, n).astype(np.float64)
+    a = jnp.asarray(spd)
+    # symmetric tangent: numpy's cholesky reads only the lower
+    # triangle while JAX's jvp rule symmetrizes — they agree only for
+    # symmetric perturbations (the relevant ones for an SPD input)
+    g = rng.standard_normal(a.shape)
+    tang = jnp.asarray((g + np.swapaxes(g, -1, -2)) / 2)
+    _, jv = jax.jvp(lambda m: B.batchchol(m, backend="xla"), (a,), (tang,))
+    eps = 1e-6
+    fd = (np.linalg.cholesky(spd + eps * np.asarray(tang))
+          - np.linalg.cholesky(spd - eps * np.asarray(tang))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(jv), fd, rtol=2e-4, atol=2e-4)
