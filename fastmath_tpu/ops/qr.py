@@ -567,6 +567,297 @@ _eig_pallas_wu.defvjp(_eig_pallas_wu_fwd, _eig_pallas_wu_bwd)
 _EIG_PALLAS_MAX_N = 32
 
 
+# --- Analytic closed-form path (real symmetric, n <= 3) --------------------
+#
+# The DTI regime — millions of 2x2/3x3 symmetric tensors — has exact
+# closed forms: 2x2 via one Jacobi rotation angle, 3x3 via the stable
+# trigonometric (Cardano) solution of the characteristic cubic on the
+# trace-free part (the standard formulation, cf. Kopp 2008, "Efficient
+# numerical diagonalization of hermitian 3x3 matrices"). Unlike the
+# iterative Jacobi tiers this is a handful of *elementwise* XLA ops —
+# stream-bound instead of VPU-iteration-bound, so it wins on every
+# backend (no kernel needed; XLA fuses the whole thing). Accuracy is
+# absolute ~eps * ||A|| like Jacobi's. Inputs are pre-scaled by the
+# per-matrix max |entry| so the squared invariants (tr(B^2), det B)
+# stay inside f32 range at any input scale.
+#
+# No counterpart in the reference (its shifted-QR iterates even at
+# n = 2, `_impl/qr.py:533-657`); the closed-form *solve* analog is its
+# TorchScript `_sym_solve2/3` tier (`_impl/sym.py:194-252`).
+
+_TWO_PI_3 = 2.0943951023931953  # 2*pi/3
+
+
+def _analytic_prescale(sym):
+    s = jnp.max(jnp.abs(sym), axis=(-2, -1))
+    safe = jnp.where(s > 0, s, jnp.ones((), sym.dtype))
+    return sym / safe[..., None, None], safe
+
+
+def _eig2_analytic_rot(sym):
+    """2x2 closed form: the single Jacobi rotation that diagonalizes.
+
+    Returns ``(w, (c, s))`` with ``w`` paired to the rotation columns
+    ``u0 = (c, s)``, ``u1 = (-s, c)`` — exactly orthonormal by
+    construction, well-defined even for degenerate eigenvalues.
+    """
+    a = sym[..., 0, 0]
+    b = sym[..., 1, 1]
+    d = sym[..., 0, 1]
+    one = jnp.ones((), sym.dtype)
+    zero_d = d == 0
+    safe_d = jnp.where(zero_d, one, d)
+    # smaller-magnitude root of t^2 + 2 tau t - 1 = 0, tau = (a-b)/(2d)
+    tau = (a - b) / (2 * safe_d)
+    sgn = jnp.where(tau >= 0, one, -one)
+    t = jnp.where(zero_d, 0.0, sgn / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau)))
+    c = 1.0 / jnp.sqrt(1 + t * t)
+    s = t * c
+    w = jnp.stack([a + t * d, b - t * d], axis=-1)
+    return w, (c, s)
+
+
+def _eig3_analytic_w(sym, want_u: bool = False):
+    """3x3 closed form (descending), matrix-level accurate.
+
+    Trigonometric (Cardano) roots of the characteristic cubic of the
+    trace-free part are the *seeds*: roots-from-coefficients are only
+    ~sqrt(eps)-accurate for clustered pairs (the coefficients do not
+    determine a double root better). A branch-free deflation pass then
+    restores ~eps * ||A|| absolute accuracy for every root: take the
+    best-*separated* seed, form its (unnormalized) spectral projector
+    ``(A - la I)(A - lb I)`` from the other two seeds, read its
+    eigenvector off the largest projector column (seed error enters the
+    *direction* only at first order, the restricted matrix at second),
+    Rayleigh-refine the separated root, and re-solve the clustered pair
+    exactly as the orthogonal 2x2 restriction of A to the complement —
+    a backward-stable reduction. Everything stays elementwise.
+    """
+    dt = sym.dtype
+    a = sym[..., 0, 0]
+    b = sym[..., 1, 1]
+    c = sym[..., 2, 2]
+    d = sym[..., 0, 1]
+    e = sym[..., 0, 2]
+    f = sym[..., 1, 2]
+    q = (a + b + c) / 3
+    x, y, z = a - q, b - q, c - q
+    p2 = x * x + y * y + z * z + 2 * (d * d + e * e + f * f)
+    p = jnp.sqrt(p2 / 6)
+    safe_p = jnp.where(p > 0, p, jnp.ones((), dt))
+    xb, yb, zb = x / safe_p, y / safe_p, z / safe_p
+    db, eb, fb = d / safe_p, e / safe_p, f / safe_p
+    det_b = (xb * (yb * zb - fb * fb)
+             - db * (db * zb - fb * eb)
+             + eb * (db * fb - yb * eb))
+    r = jnp.clip(det_b / 2, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3
+    w0 = q + 2 * p * jnp.cos(phi)            # phi in [0, pi/3] -> largest
+    w2 = q + 2 * p * jnp.cos(phi + _TWO_PI_3)  # smallest
+    w1 = 3 * q - w0 - w2
+
+    # --- deflation refine -------------------------------------------------
+    top_sep = (w0 - w1) >= (w1 - w2)
+    lsep = jnp.where(top_sep, w0, w2)
+    la = jnp.where(top_sep, w1, w0)
+    lb = jnp.where(top_sep, w2, w1)
+    # columns of P = (A - la I)(A - lb I): unnormalized projector onto
+    # the separated eigenvector
+    a1, b1, c1 = a - la, b - la, c - la
+    a2, b2, c2 = a - lb, b - lb, c - lb
+    p00 = a1 * a2 + d * d + e * e
+    p10 = d * a2 + b1 * d + f * e
+    p20 = e * a2 + f * d + c1 * e
+    p01 = a1 * d + d * b2 + e * f
+    p11 = d * d + b1 * b2 + f * f
+    p21 = e * d + f * b2 + c1 * f
+    p02 = a1 * e + d * f + e * c2
+    p12 = d * e + b1 * f + f * c2
+    p22 = e * e + f * f + c1 * c2
+    n0 = p00 * p00 + p10 * p10 + p20 * p20
+    n1 = p01 * p01 + p11 * p11 + p21 * p21
+    n2 = p02 * p02 + p12 * p12 + p22 * p22
+    use0 = (n0 >= n1) & (n0 >= n2)
+    use1 = jnp.logical_and(~use0, n1 >= n2)
+    ux = jnp.where(use0, p00, jnp.where(use1, p01, p02))
+    uy = jnp.where(use0, p10, jnp.where(use1, p11, p12))
+    uz = jnp.where(use0, p20, jnp.where(use1, p21, p22))
+    bestn = jnp.where(use0, n0, jnp.where(use1, n1, n2))
+    # (near-)triple cluster: projector vanishes, any direction works
+    # (the restriction perturbs eigenvalues only by the cluster spread)
+    degen = bestn <= jnp.zeros((), dt)
+    ux = jnp.where(degen, jnp.ones((), dt), ux)
+    uy = jnp.where(degen, jnp.zeros((), dt), uy)
+    uz = jnp.where(degen, jnp.zeros((), dt), uz)
+    un = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+    ux, uy, uz = ux / un, uy / un, uz / un
+    # orthonormal basis (v, s) of the complement: subtract u from the
+    # least-aligned coordinate axis
+    ax_, ay_, az_ = jnp.abs(ux), jnp.abs(uy), jnp.abs(uz)
+    use_x = (ax_ <= ay_) & (ax_ <= az_)
+    use_y = jnp.logical_and(~use_x, ay_ <= az_)
+    one = jnp.ones((), dt)
+    zero = jnp.zeros((), dt)
+    ek_x = jnp.where(use_x, one, zero)
+    ek_y = jnp.where(use_y, one, zero)
+    ek_z = jnp.where(use_x | use_y, zero, one)
+    uk = jnp.where(use_x, ux, jnp.where(use_y, uy, uz))
+    tx, ty, tz = ek_x - uk * ux, ek_y - uk * uy, ek_z - uk * uz
+    tn = jnp.sqrt(tx * tx + ty * ty + tz * tz)  # >= sqrt(2/3): safe
+    vx, vy, vz = tx / tn, ty / tn, tz / tn
+    sx = uy * vz - uz * vy
+    sy = uz * vx - ux * vz
+    sz = ux * vy - uy * vx
+
+    def _amv(px, py, pz):  # A @ (px, py, pz), elementwise
+        return (a * px + d * py + e * pz,
+                d * px + b * py + f * pz,
+                e * px + f * py + c * pz)
+
+    avx, avy, avz = _amv(vx, vy, vz)
+    asx, asy, asz = _amv(sx, sy, sz)
+    aux, auy, auz = _amv(ux, uy, uz)
+    q11 = vx * avx + vy * avy + vz * avz
+    q12 = sx * avx + sy * avy + sz * avz
+    q22 = sx * asx + sy * asy + sz * asz
+    lsep_r = ux * aux + uy * auy + uz * auz  # Rayleigh quotient
+    # 2x2 closed form on the restriction (backward stable)
+    zero_q = q12 == 0
+    safe_q = jnp.where(zero_q, one, q12)
+    tau = (q11 - q22) / (2 * safe_q)
+    sgn = jnp.where(tau >= 0, one, -one)
+    t = jnp.where(zero_q, zero,
+                  sgn / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau)))
+    wa = q11 + t * q12
+    wb = q22 - t * q12
+    if not want_u:
+        # descending merge
+        hi = jnp.maximum(wa, wb)
+        lo = jnp.minimum(wa, wb)
+        o0 = jnp.maximum(lsep_r, hi)
+        o2 = jnp.minimum(lsep_r, lo)
+        o1 = lsep_r + hi + lo - o0 - o2
+        return jnp.stack([o0, o1, o2], axis=-1)
+
+    # eigenvectors ride the same machinery for free: (u, v, s) is an
+    # exactly orthonormal triple by construction and the 2x2 rotation
+    # resolves the clustered pair inside span{v, s} — so U is exactly
+    # orthogonal; only the *directions* carry the (properly
+    # conditioned, gap-relative) eigenvector error.
+    ct = 1.0 / jnp.sqrt(1 + t * t)
+    st = t * ct
+    ya = jnp.stack([ct * vx + st * sx, ct * vy + st * sy,
+                    ct * vz + st * sz], axis=-1)
+    yb = jnp.stack([-st * vx + ct * sx, -st * vy + ct * sy,
+                    -st * vz + ct * sz], axis=-1)
+    usep = jnp.stack([ux, uy, uz], axis=-1)
+
+    def cswap(lam1, vec1, lam2, vec2):  # descending compare-swap
+        cond = lam1 >= lam2
+        cv = cond[..., None]
+        return (jnp.where(cond, lam1, lam2), jnp.where(cv, vec1, vec2),
+                jnp.where(cond, lam2, lam1), jnp.where(cv, vec2, vec1))
+
+    l0, v0, l1, v1 = lsep_r, usep, wa, ya
+    l2, v2 = wb, yb
+    l0, v0, l1, v1 = cswap(l0, v0, l1, v1)
+    l1, v1, l2, v2 = cswap(l1, v1, l2, v2)
+    l0, v0, l1, v1 = cswap(l0, v0, l1, v1)
+    w = jnp.stack([l0, l1, l2], axis=-1)
+    u = jnp.stack([v0, v1, v2], axis=-1)  # columns = eigenvectors
+    return w, u
+
+
+def _eig_analytic_w_impl(sym):
+    n = sym.shape[-1]
+    sym_s, scale = _analytic_prescale(sym)
+    if n == 1:
+        w = sym_s[..., 0, :]
+    elif n == 2:
+        w, _ = _eig2_analytic_rot(sym_s)
+    else:
+        w = _eig3_analytic_w(sym_s)
+    return w * scale[..., None]
+
+
+@jax.custom_vjp
+def _eig_analytic_w(sym):
+    return _eig_analytic_w_impl(sym)
+
+
+def _eig_analytic_w_fwd(sym):
+    return _eig_analytic_w_impl(sym), sym
+
+
+def _eig_analytic_w_bwd(sym, dw):
+    # Giles eigenvalue pullback dA = sum_i dw_i u_i u_i^T with the
+    # closed-form eigenvectors (pairing-consistent with the primal's
+    # output order by construction at every n).
+    n = sym.shape[-1]
+    if n == 1:
+        return (dw[..., None],)
+    sym_s, _ = _analytic_prescale(sym)
+    if n == 2:
+        _, (c, s) = _eig2_analytic_rot(sym_s)
+        u = jnp.stack(
+            [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)],
+            axis=-2,
+        )
+    else:
+        _, u = _eig3_analytic_w(sym_s, want_u=True)
+    da = jnp.einsum("...i,...ji,...ki->...jk", dw, u, u,
+                    precision="highest")
+    return (0.5 * (da + jnp.swapaxes(da, -1, -2)),)
+
+
+_eig_analytic_w.defvjp(_eig_analytic_w_fwd, _eig_analytic_w_bwd)
+
+
+@jax.custom_vjp
+def _eig2_analytic_wu(sym):
+    sym_s, scale = _analytic_prescale(sym)
+    w, (c, s) = _eig2_analytic_rot(sym_s)
+    u = jnp.stack(
+        [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)], axis=-2
+    )
+    return w * scale[..., None], u
+
+
+def _eig2_analytic_wu_fwd(sym):
+    w, u = _eig2_analytic_wu(sym)
+    return (w, u), (w, u)
+
+
+def _eig2_analytic_wu_bwd(res, cot):
+    w, u = res
+    dw, du = cot
+    return (_giles_da(w, u, dw, du),)
+
+
+_eig2_analytic_wu.defvjp(_eig2_analytic_wu_fwd, _eig2_analytic_wu_bwd)
+
+
+@jax.custom_vjp
+def _eig3_analytic_wu(sym):
+    sym_s, scale = _analytic_prescale(sym)
+    w, u = _eig3_analytic_w(sym_s, want_u=True)
+    return w * scale[..., None], u
+
+
+def _eig3_analytic_wu_fwd(sym):
+    w, u = _eig3_analytic_wu(sym)
+    return (w, u), (w, u)
+
+
+def _eig3_analytic_wu_bwd(res, cot):
+    w, u = res
+    dw, du = cot
+    return (_giles_da(w, u, dw, du),)
+
+
+_eig3_analytic_wu.defvjp(_eig3_analytic_wu_fwd, _eig3_analytic_wu_bwd)
+
+
 def eig_sym(
     a,
     compute_u: bool = False,
@@ -584,12 +875,16 @@ def eig_sym(
     Returns ``s`` or ``(s, u)``. ``upper`` selects which triangle to
     trust. Reference analog: ``qr.py:30-100`` / ``_impl/qr.py:660-735``.
 
-    ``backend``: ``"auto"`` routes real input with n <= 32 to the
+    ``backend``: ``"auto"`` routes real input with n <= 3 to the
+    closed-form **analytic** path on every platform — one Jacobi rotation angle at 2x2, the stable
+    trigonometric characteristic-cubic solution at 3x3 (the DTI
+    regime): pure elementwise XLA, stream-bound instead of
+    iteration-bound. Larger real input with n <= 32 routes to the
     lane-packed Pallas kernels on TPU (unrolled register cyclic Jacobi
     n <= 8, ~19x the XLA path at 4x4; rolled parallel-order Jacobi on
     stacked grids 9 <= n <= 32 — ``BENCH_MEASURED.md``) and uses fused
-    XLA otherwise; ``"pallas"`` / ``"xla"`` force a path. Both paths
-    carry the Giles custom VJP.
+    XLA otherwise; ``"analytic"`` / ``"pallas"`` / ``"xla"`` force a
+    path. All paths carry the Giles custom VJP.
     The routed Pallas path carries a custom VJP (reverse-mode
     only); forward-mode AD (``jax.jvp`` / ``jacfwd``) needs
     ``backend="xla"``.
@@ -610,7 +905,7 @@ def eig_sym(
     diag = jnp.real(jnp.diagonal(tri, axis1=-2, axis2=-1)).astype(a.dtype)
     sym = tri + jnp.swapaxes(jnp.conjugate(tri), -1, -2) - diag[..., None] * eye
 
-    if backend not in ("auto", "pallas", "xla"):
+    if backend not in ("auto", "pallas", "xla", "analytic"):
         raise ValueError(f"unknown backend {backend!r}")
     pallas_ok = not is_complex and n <= _EIG_PALLAS_MAX_N
     if backend == "pallas" and not pallas_ok:
@@ -618,14 +913,35 @@ def eig_sym(
             "backend='pallas' requires real input with n <= "
             f"{_EIG_PALLAS_MAX_N}"
         )
+    analytic_ok = not is_complex and n <= 3
+    if backend == "analytic" and not analytic_ok:
+        raise ValueError(
+            "backend='analytic' requires real input with n <= 3"
+        )
+    use_analytic = backend == "analytic" or (backend == "auto" and analytic_ok)
     use_pallas = backend == "pallas" or (
-        backend == "auto" and pallas_ok and jax.default_backend() == "tpu"
+        backend == "auto" and not use_analytic and pallas_ok
+        and jax.default_backend() == "tpu"
     )
     def _out(w, u=None):
         if half is not None:
             w = w.astype(half)
             u = u if u is None else u.astype(half)
         return w if u is None else (w, u)
+
+    if use_analytic:
+        # closed forms; `max_iter`/`tol` are irrelevant (nothing
+        # iterates). The 3x3 eigenvalues come out descending; the 2x2
+        # pair follows the diagonalizing rotation — both are valid
+        # instances of the unsorted contract.
+        if compute_u:
+            if n == 1:
+                w = _eig_analytic_w(sym)
+                return _out(w, jnp.ones_like(sym))
+            if n == 2:
+                return _out(*_eig2_analytic_wu(sym))
+            return _out(*_eig3_analytic_wu(sym))
+        return _out(_eig_analytic_w(sym))
 
     if use_pallas:
         # n <= 8: unrolled register cyclic Jacobi; 9 <= n <= 32: rolled
