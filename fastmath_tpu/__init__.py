@@ -19,6 +19,14 @@ parity).
 __version__ = "0.1.0"
 
 from . import core, layouts, typing, utils
+from .core.cache import enable_compilation_cache  # noqa: F401
+
+# honor FASTMATH_TPU_CACHE_DIR at import time (persistent compilation
+# cache for the minutes-cold rolled-tier Mosaic kernels — core/cache.py)
+from .core.cache import _maybe_enable_from_env as _cache_env_hook
+
+_cache_env_hook()
+del _cache_env_hook
 from . import parallel
 from .ops import batched, lie, qr, realtransforms, reduce, simplex, special
 from .ops import stochastic, sugar, sym
@@ -54,5 +62,6 @@ __all__ = [
     "stochastic",
     "sugar",
     "sym",
+    "enable_compilation_cache",
     "__version__",
 ]

@@ -1,4 +1,5 @@
-"""Core utilities: dtypes, shapes/indices, broadcasting."""
+"""Core utilities: dtypes, shapes/indices, broadcasting, compile cache."""
+from .cache import enable_compilation_cache, compilation_cache_dir
 from .dtypes import eps, as_float, result_real_dtype, promote_transform_dtype
 from .shapes import (
     ensure_tuple,
@@ -9,6 +10,8 @@ from .shapes import (
 )
 
 __all__ = [
+    "enable_compilation_cache",
+    "compilation_cache_dir",
     "eps",
     "as_float",
     "result_real_dtype",
