@@ -127,7 +127,7 @@ def _eig_kernel(n, sweeps, compute_u, mat_ref, *out_refs):
 
     carry = jax.lax.while_loop(
         cond, body,
-        (flatten(E), flatten(V) if compute_u else (), jnp.asarray(0)),
+        (flatten(E), flatten(V) if compute_u else (), jnp.int32(0)),
     )
     E = unflatten(carry[0])
     V = unflatten(carry[1]) if compute_u else None
@@ -253,13 +253,13 @@ def _eig_rolled_kernel(n, sweeps, compute_u, mat_ref, *out_refs):
             e, v = sweep(carry[0], carry[1])
             return e, v, carry[2] + 1
 
-        E, V, _ = jax.lax.while_loop(cond, body, (E, V0, jnp.asarray(0)))
+        E, V, _ = jax.lax.while_loop(cond, body, (E, V0, jnp.int32(0)))
     else:
         def body(carry):
             e, _ = sweep(carry[0], None)
             return e, carry[1] + 1
 
-        E, _ = jax.lax.while_loop(cond, body, (E, jnp.asarray(0)))
+        E, _ = jax.lax.while_loop(cond, body, (E, jnp.int32(0)))
     w_ref = out_refs[0]
     for i in range(n):
         w_ref[i] = E[i, i]
@@ -276,6 +276,7 @@ def eig_sym_cf(
     sweeps: int = _DEFAULT_SWEEPS,
     block: int = 8192,
     interpret: Optional[bool] = None,
+    bm: bool = False,
 ):
     """Channel-first batched symmetric eigendecomposition (Pallas).
 
@@ -284,6 +285,14 @@ def eig_sym_cf(
     ``(N*N, ...)`` when ``compute_u`` (``u[i*n+j]`` = component i of
     eigenvector j). N <= 8, real symmetric only; for the general API
     (any N, complex, custom VJP) use :func:`fastmath_tpu.ops.qr.eig_sym`.
+
+    ``bm=True`` applies the block-major repack (one contiguous HBM slab
+    per grid step instead of one strided DMA per row — the same
+    ``_call_rows(bm=True)`` trick the solve path uses,
+    :func:`fastmath_tpu.kernels.sym_pallas._call_rows`); when the
+    caller's data is batch-major the lazy transpose composes with the
+    repack, which is how the routed public ``eig_sym`` avoids a
+    separate global relayout pass (VERDICT r3 item 6).
     """
     mat = jnp.asarray(mat)
     nn = mat.shape[0]
@@ -331,9 +340,47 @@ def eig_sym_cf(
         # _rolled_vmem (v5e has 128 MiB physical)
         extra["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024)
+    nblocks = bp // block
+    if bm:
+        # block-major repack: (nn, nblocks, bb, 128) -> grid-major so
+        # each step's whole input is one contiguous slab (the _Row4
+        # adapter re-presents the row-indexed interface)
+        from .sym_pallas import _Row4
+
+        mp_bm = mp.reshape(nn, nblocks, bb, 128).transpose(1, 0, 2, 3)
+        in_specs = [pl.BlockSpec((1, nn, bb, 128), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        out_shapes = [jax.ShapeDtypeStruct((nblocks, n, bb, 128), mp.dtype)]
+        out_specs = [pl.BlockSpec((1, n, bb, 128), lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        if compute_u:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((nblocks, n * n, bb, 128), mp.dtype))
+            out_specs.append(
+                pl.BlockSpec((1, n * n, bb, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM))
+        wrapped = lambda *refs: kern(*(_Row4(r) for r in refs))  # noqa: E731
+        outs = pl.pallas_call(
+            wrapped,
+            grid=(nblocks,),
+            in_specs=in_specs,
+            out_specs=out_specs if compute_u else out_specs[0],
+            out_shape=out_shapes if compute_u else out_shapes[0],
+            interpret=bool(interpret),
+            **extra,
+        )(mp_bm)
+        if not compute_u:
+            outs = (outs,)
+        outs = [o.transpose(1, 0, 2, 3).reshape(o.shape[1], bp)
+                for o in outs]
+        w = outs[0][:, :b].reshape(n, *batch_shape)
+        if compute_u:
+            u = outs[1][:, :b].reshape(n * n, *batch_shape)
+            return w, u
+        return w
     outs = pl.pallas_call(
         kern,
-        grid=(bp // block,),
+        grid=(nblocks,),
         in_specs=[pl.BlockSpec((nn, bb, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=out_specs if compute_u else out_specs[0],

@@ -161,13 +161,16 @@ def _expm_kernel(d, order, mat_ref, out_ref):
             for j in range(d)
         ), it + 1
 
-    flat, _ = jax.lax.while_loop(cond, body, (flatten(R), jnp.asarray(0.0)))
+    # counter carries the data dtype (a bare asarray(0.0) would become
+    # f64 under jax_enable_x64 and fail the Mosaic lowering)
+    flat, _ = jax.lax.while_loop(
+        cond, body, (flatten(R), jnp.zeros((), s.dtype)))
     for r in range(d * d):
         out_ref[r] = flat[r]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _expm_cf(mat, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _expm_cf(mat, block, interpret, bm=False):
     d = int(round(np.sqrt(mat.shape[0])))
     order = _ORDER_F64 if jnp.finfo(mat.dtype).eps < 1e-10 else _ORDER_F32
     kern = functools.partial(
@@ -177,14 +180,14 @@ def _expm_cf(mat, block, interpret):
     # 16 MiB default scoped-VMEM stack (cf. logm_cf's budget note)
     vmem = 64 * 1024 * 1024 if d > 16 else None
     return _call_rows(kern, (mat,), mat.shape[0], block, interpret,
-                      vmem_limit=vmem)
+                      bm=bm, vmem_limit=vmem)
 
 
-def _expm_cf_fwd(mat, block, interpret):
-    return _expm_cf(mat, block, interpret), mat
+def _expm_cf_fwd(mat, block, interpret, bm=False):
+    return _expm_cf(mat, block, interpret, bm), mat
 
 
-def _expm_cf_bwd(block, interpret, mat, g):
+def _expm_cf_bwd(block, interpret, bm, mat, g):
     # VJP via the Mathias block trick: L_exp(X^T)[G] is the top-right
     # block of expm([[X^T, G], [0, X^T]]). For d <= 8 the 2d x 2d
     # block still fits a kernel tier (unrolled to 2d = 8, rolled to
@@ -211,7 +214,9 @@ def _expm_cf_bwd(block, interpret, mat, g):
         cf = jnp.moveaxis(
             blk_full.reshape(*blk_full.shape[:-2], 4 * d * d), 0, -1
         ).reshape(4 * d * d, -1)
-        blk_cf = _expm_cf(cf, blk_block, interpret)
+        # bm=True: cf above is a lazy batch-major transpose, which
+        # composes with the block-major repack (no global relayout)
+        blk_cf = _expm_cf(cf, blk_block, interpret, True)
         blk = jnp.moveaxis(blk_cf, 0, -1).reshape(blk_full.shape)
     else:
         from ..ops.lie import _expm_core
@@ -228,6 +233,7 @@ def expm_cf(
     mat: jnp.ndarray,
     block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    bm: bool = False,
 ) -> jnp.ndarray:
     """Channel-first batched matrix exponential ``(d*d, ...) ->
     (d*d, ...)`` (Pallas; row-major channels, d <= 32).
@@ -267,5 +273,6 @@ def expm_cf(
         # such constraint)
         block = _sublane_block(block)
     batch_shape = mat.shape[1:]
-    out = _expm_cf(mat.reshape(mat.shape[0], -1), block, bool(interpret))
+    out = _expm_cf(mat.reshape(mat.shape[0], -1), block, bool(interpret),
+                   bool(bm))
     return out.reshape(mat.shape[0], *batch_shape)

@@ -151,7 +151,7 @@ def _logm_kernel(d, order, db_tol, mat_ref, out_ref):
 
         carry = jax.lax.while_loop(
             cond, body,
-            (_flatten(G, d), _flatten(G, d), jnp.asarray(0)),
+            (_flatten(G, d), _flatten(G, d), jnp.int32(0)),
         )
         # per-lane convergence: a lane that hit the cap mid-air must
         # not be mistaken for a square root (on-cut eigenvalues bounce
@@ -202,7 +202,7 @@ def _logm_kernel(d, order, db_tol, mat_ref, out_ref):
     D0 = [[A[i][j] - eye[i][j] for j in range(d)] for i in range(d)]
     flat, dflat, k, _ = jax.lax.while_loop(
         iss_cond, iss_body,
-        (_flatten(A, d), _flatten(D0, d), k0, jnp.asarray(0)),
+        (_flatten(A, d), _flatten(D0, d), k0, jnp.int32(0)),
     )
     A = _unflatten(flat, d)
     Am = _unflatten(dflat, d)  # accurately-tracked A - I
@@ -267,7 +267,7 @@ def _logm_rolled_kernel(d, order, db_tol, mat_ref, out_ref):
             Mn = 0.25 * _mm_st(Minv, _mm_st(T, T, d), d)
             return Mn, Yn, it + 1
 
-        Mf, Yf, _ = jax.lax.while_loop(cond, body, (G, G, jnp.asarray(0)))
+        Mf, Yf, _ = jax.lax.while_loop(cond, body, (G, G, jnp.int32(0)))
         d2 = dist2(Mf)
         conv = (jnp.isfinite(d2) & (d2 <= (8 * db_tol) ** 2))[None, None]
         return jnp.where(conv, Yf, jnp.nan)
@@ -291,7 +291,7 @@ def _logm_rolled_kernel(d, order, db_tol, mat_ref, out_ref):
 
     k0 = jnp.zeros(lane, dt)
     A, Am, k, _ = jax.lax.while_loop(
-        iss_cond, iss_body, (A0, A0 - eye, k0, jnp.asarray(0)))
+        iss_cond, iss_body, (A0, A0 - eye, k0, jnp.int32(0)))
     d2 = dist2(A)
     bad = ~(jnp.isfinite(d2) & (d2 <= _THRESH * _THRESH))
 
@@ -313,6 +313,7 @@ def logm_cf(
     mat: jnp.ndarray,
     block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    bm: bool = False,
 ) -> jnp.ndarray:
     """Channel-first batched matrix logarithm ``(d*d, ...) ->
     (d*d, ...)`` (Pallas; row-major channels, real d <= 24).
@@ -371,5 +372,5 @@ def logm_cf(
         vmem_limit = None
     out = _call_rows(kern, (m2,), mat.shape[0], block, bool(interpret),
                      diag_rows=tuple(i * d + i for i in range(d)),
-                     vmem_limit=vmem_limit)
+                     bm=bm, vmem_limit=vmem_limit)
     return out.reshape(mat.shape[0], *batch_shape)
