@@ -422,6 +422,98 @@ def _jacobi_sweep(a, v):
     return a, v
 
 
+#: above this n the XLA path uses the rounds-rolled parallel-order
+#: sweep: the trace-unrolled cyclic sweep emits n(n-1)/2 rotation
+#: stanzas and its CPU compile explodes (measured 4 min at n=28),
+#: while the rolled body is O(1) ops and compiles in seconds.
+_XLA_ROLLED_MIN_N = 17
+
+
+def _round_robin_partners(n: int) -> np.ndarray:
+    """Static round-robin tournament partner table, shape ``(R, n)``:
+    ``partners[r, i]`` is row i's rotation partner in round r (self =
+    bye, only for odd n). Each round's pairs are disjoint, so all n/2
+    rotations of a round commute and can be applied as three full-matrix
+    vector ops — the same parallel-order schedule as the Pallas rolled
+    kernel (``kernels/eig_pallas.py``), here with XLA gathers. R = n-1
+    rounds for even n (n for odd n) cover every (p, q) pair exactly
+    once per sweep (circle method: fix player 0, rotate the rest).
+    """
+    m = n if n % 2 == 0 else n + 1
+    others = list(range(1, m))
+    rounds = []
+    for _ in range(m - 1):
+        players = [0] + others
+        part = np.arange(n)
+        for i in range(m // 2):
+            x, y = players[i], players[m - 1 - i]
+            if x < n and y < n:
+                part[x], part[y] = y, x
+        rounds.append(part)
+        others = others[-1:] + others[:-1]
+    return np.stack(rounds).astype(np.int32)
+
+
+def _jacobi_sweep_rolled(a, v, partners):
+    """One parallel-order Jacobi sweep as a ``fori_loop`` over rounds.
+
+    ``partners`` is the traced ``(R, n)`` int32 table from
+    :func:`_round_robin_partners`. Each round computes all of its n/2
+    disjoint rotations **per row** in self-as-p orientation (row i's
+    coefficients come out right for both pair members: the q side's
+    ``tau``/``phase`` flip signs consistently, see the algebra in
+    :func:`_jacobi_sweep`) and applies them as
+    ``A <- c*A + conj(s)*A[partner-rows]`` followed by the column and
+    eigenvector updates ``X <- c*X + s*X[:, partner]``. Identical
+    mathematics to the unrolled cyclic sweep — only the rotation
+    *order* differs (parallel/tournament vs row-cyclic; both converge,
+    Golub & Van Loan §8.5.3/8.5.10) — with an O(1)-size loop body, so
+    the XLA compile stays seconds where the unrolled sweep's n(n-1)/2
+    stanzas take minutes at n ~ 28.
+    """
+    n = a.shape[-1]
+    col = jnp.arange(n)
+
+    def round_body(r, carry):
+        a, v = carry
+        part = jax.lax.dynamic_index_in_dim(partners, r, 0, keepdims=False)
+        active = part != col
+        d = jnp.real(jnp.diagonal(a, axis1=-2, axis2=-1))
+        dp = jnp.take(d, part, axis=-1)
+        # a[..., i, part[i]] — row i's off-diagonal pivot
+        offd = jnp.take_along_axis(
+            a, jnp.broadcast_to(part[:, None], a.shape[:-1] + (1,)), -1
+        )[..., 0]
+        rr = jnp.abs(offd)
+        act = active & (rr > 0)
+        rsafe = jnp.where(act, rr, 1.0)
+        tau = (dp - d) / (2.0 * rsafe)
+        sgn = jnp.where(tau >= 0, 1.0, -1.0)
+        t = jnp.where(act,
+                      -sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)), 0.0)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        sigma = t * c
+        phase = jnp.where(act, offd / rsafe.astype(a.dtype),
+                          jnp.ones((), a.dtype))
+        s = sigma.astype(a.dtype) * jnp.conjugate(phase)
+        cB = c.astype(a.dtype)
+        # rows: row_i <- c_i row_i + conj(s_i) row_{part[i]}
+        a = cB[..., :, None] * a \
+            + jnp.conjugate(s)[..., :, None] * jnp.take(a, part, axis=-2)
+        # cols: col_i <- c_i col_i + s_i col_{part[i]} (same coefficients
+        # work for both pair members — the q side's s is -conj(p's))
+        a = cB[..., None, :] * a + s[..., None, :] * jnp.take(a, part, axis=-1)
+        # hygiene: force the zeroed pairs exactly (both (i, part[i]) and
+        # (part[i], i) are covered since both rows are active)
+        zero_mask = act[..., :, None] & (col[None, :] == part[:, None])
+        a = jnp.where(zero_mask, jnp.zeros((), a.dtype), a)
+        v = cB[..., None, :] * v + s[..., None, :] * jnp.take(v, part, axis=-1)
+        return a, v
+
+    a, v = jax.lax.fori_loop(0, partners.shape[0], round_body, (a, v))
+    return a, v
+
+
 def _eig_sym_fwd_impl(a, max_sweeps: int, tol: float):
     """Batched cyclic Jacobi. Returns (eigenvalues, eigenvectors).
 
@@ -453,10 +545,22 @@ def _eig_sym_fwd_impl(a, max_sweeps: int, tol: float):
         active = jnp.isfinite(o) & (o > thresh)
         return (it < max_sweeps) & jnp.any(active)
 
-    def body(carry):
-        a, v, it = carry
-        a, v = _jacobi_sweep(a, v)
-        return a, v, it + 1
+    if n >= _XLA_ROLLED_MIN_N:
+        # rounds-rolled parallel-order sweep: O(1) loop body, seconds
+        # to compile where the unrolled sweep's n(n-1)/2 stanzas take
+        # minutes (4 min at n=28 on CPU XLA, measured round 4)
+        partners = jnp.asarray(_round_robin_partners(n))
+
+        def body(carry):
+            a, v, it = carry
+            a, v = _jacobi_sweep_rolled(a, v, partners)
+            return a, v, it + 1
+    else:
+
+        def body(carry):
+            a, v, it = carry
+            a, v = _jacobi_sweep(a, v)
+            return a, v, it + 1
 
     a, v, _ = jax.lax.while_loop(cond, body, (a, v0, jnp.asarray(0)))
     w = jnp.diagonal(a, axis1=-2, axis2=-1)
@@ -516,7 +620,10 @@ def _pallas_eig(sym, sweeps, compute_u):
     n = sym.shape[-1]
     batch_shape = sym.shape[:-2]
     cf = jnp.moveaxis(full_to_sym(sym).reshape(-1, n * (n + 1) // 2), -1, 0)
-    out = eig_sym_cf(cf, compute_u=compute_u, sweeps=sweeps)
+    # bm=True: the lazy batch-major transpose above composes with the
+    # kernel's block-major repack into one block-local relayout — the
+    # same trick that closed the solve path's routed-vs-direct gap
+    out = eig_sym_cf(cf, compute_u=compute_u, sweeps=sweeps, bm=True)
     if compute_u:
         w_cf, u_cf = out
     else:
@@ -884,10 +991,11 @@ def eig_sym(
     n <= 8, ~19x the XLA path at 4x4; rolled parallel-order Jacobi on
     stacked grids 9 <= n <= 32 — ``BENCH_MEASURED.md``) and uses fused
     XLA otherwise; ``"analytic"`` / ``"pallas"`` / ``"xla"`` force a
-    path. All paths carry the Giles custom VJP.
-    The routed Pallas path carries a custom VJP (reverse-mode
-    only); forward-mode AD (``jax.jvp`` / ``jacfwd``) needs
-    ``backend="xla"``.
+    path. All paths carry the Giles custom VJP, so ``eig_sym`` supports
+    reverse-mode AD only: forward-mode (``jax.jvp`` / ``jacfwd``) raises
+    on **every** backend (``jax.custom_vjp`` has no JVP rule). For
+    forward-mode derivatives of eigenvalues use the Giles identities
+    directly (``dw = diag(U^T dA U)``) on the primal outputs.
     """
     a = _check_finite_square(a, check_finite)
     from ..core.dtypes import upcast_half

@@ -209,6 +209,97 @@ def test_eig_sym_f32_converges(rng):
     np.testing.assert_allclose(w, want, rtol=1e-4, atol=1e-4)
 
 
+# --- rounds-rolled parallel-order XLA sweep (n >= _XLA_ROLLED_MIN_N) -------
+# The trace-unrolled cyclic sweep's n(n-1)/2 stanzas cost a 4-minute
+# CPU compile at n=28 (measured round 4); large n uses a fori_loop over
+# static round-robin rounds instead. Same mathematics, different
+# rotation order — these tests pin parity at and past the boundary.
+
+
+def test_round_robin_schedule():
+    from fastmath_tpu.ops.qr import _round_robin_partners
+
+    for n in (17, 18, 27, 28, 32):
+        part = _round_robin_partners(n)
+        seen = set()
+        for r in range(part.shape[0]):
+            p = part[r]
+            # involutive permutation: partner-of-partner is self
+            assert (p[p] == np.arange(n)).all()
+            for i in range(n):
+                if p[i] != i:
+                    seen.add((min(i, int(p[i])), max(i, int(p[i]))))
+        # every unordered pair rotated exactly once per sweep
+        assert len(seen) == n * (n - 1) // 2
+
+
+@pytest.mark.parametrize("n", [17, 20, 27])
+def test_eig_sym_rolled_xla_values_vectors(n, rng):
+    from fastmath_tpu.ops.qr import _XLA_ROLLED_MIN_N
+
+    assert n >= _XLA_ROLLED_MIN_N
+    a = randsym(rng, 8, n)
+    w, u = Q.eig_sym(jnp.asarray(a), compute_u=True, backend="xla")
+    w, u = np.asarray(w), np.asarray(u)
+    want = np.sort(np.linalg.eigvalsh(a), -1)
+    np.testing.assert_allclose(np.sort(w, -1), want, rtol=1e-9, atol=1e-9)
+    recon = np.einsum("...ij,...j,...kj->...ik", u, w, u)
+    np.testing.assert_allclose(recon, a, rtol=1e-8, atol=1e-8)
+    gram = np.einsum("...ji,...jk->...ik", u, u)
+    np.testing.assert_allclose(gram, np.broadcast_to(np.eye(n), gram.shape),
+                               atol=1e-9)
+
+
+def test_eig_sym_rolled_xla_hermitian(rng):
+    n = 18
+    h = rng.standard_normal((4, n, n)) + 1j * rng.standard_normal((4, n, n))
+    h = h + np.conj(np.swapaxes(h, -1, -2))
+    w, u = Q.eig_sym(jnp.asarray(h), compute_u=True, backend="xla")
+    w, u = np.asarray(w), np.asarray(u)
+    assert not np.iscomplexobj(w)
+    np.testing.assert_allclose(
+        np.sort(w, -1), np.sort(np.linalg.eigvalsh(h), -1),
+        rtol=1e-8, atol=1e-8)
+    recon = np.einsum("...ij,...j,...kj->...ik", u, w, np.conj(u))
+    np.testing.assert_allclose(recon, h, rtol=1e-8, atol=1e-8)
+
+
+def test_eig_sym_rolled_xla_f32(rng):
+    """f32 at n=28: eigenvalues stay ~1e-5-class; the reconstruction
+    carries the measured f32 Jacobi drift floor (worst lanes ~2e-4 —
+    the logm sym route corrects it with Daleckii-Krein, ops/lie.py)."""
+    n = 28
+    a = randsym(rng, 12, n).astype(np.float32)
+    w, u = Q.eig_sym(jnp.asarray(a), compute_u=True, backend="xla")
+    w, u = np.asarray(w, np.float64), np.asarray(u, np.float64)
+    want = np.sort(np.linalg.eigvalsh(a.astype(np.float64)), -1)
+    scale = np.abs(want).max(-1, keepdims=True)
+    assert (np.abs(np.sort(w, -1) - want) / scale).max() < 2e-5
+    recon = np.einsum("...ij,...j,...kj->...ik", u, w, u)
+    nw = (np.linalg.norm((recon - a).reshape(len(a), -1), axis=-1)
+          / np.linalg.norm(a.reshape(len(a), -1), axis=-1))
+    assert nw.max() < 1e-3, nw.max()
+
+
+def test_eig_sym_rolled_xla_grad(rng):
+    """Giles VJP composes with the rolled forward at n >= 17."""
+    n = 18
+    a = randsym(rng, 2, n)
+    aj = jnp.asarray(a)
+
+    def loss(x):
+        w = Q.eig_sym(0.5 * (x + jnp.swapaxes(x, -1, -2)), backend="xla")
+        return jnp.sum(jnp.sort(w, -1)[..., -1])  # largest eigenvalue
+
+    g = np.asarray(jax.grad(loss)(aj))
+    # oracle: d lambda_max / dA = u u^T (symmetrized)
+    ww, uu = np.linalg.eigh(a)
+    u1 = uu[..., :, -1]
+    want = 0.5 * (np.einsum("...i,...j->...ij", u1, u1)
+                  + np.einsum("...j,...i->...ij", u1, u1))
+    np.testing.assert_allclose(g, want, rtol=1e-7, atol=1e-9)
+
+
 def test_eig_sym_nan_lane_isolation(rng):
     """A NaN matrix in the batch must not freeze or early-exit the
     sweep loop for the others."""
