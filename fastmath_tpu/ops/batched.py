@@ -554,13 +554,17 @@ def batchlogdet(a: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
         from ..kernels.batched_pallas import logdet_cf
 
         return _downcast(logdet_cf(_to_channels(a, n), bm=True), half)
+    # core.accmath.log, not jnp.log: the output IS a log, and XLA
+    # TPU's f32 log is ~4000 ulp worst-case (measured round 4)
+    from ..core.accmath import log as _acclog
+
     if n <= _CLOSED_FORM_MAX:
-        return _downcast(jnp.log(jnp.abs(batchdet(a))), half)
+        return _downcast(_acclog(jnp.abs(batchdet(a))), half)
     if n <= LU_UNROLL_MAX:
         lu, _, _ = _plu(a)
-        acc = jnp.log(jnp.abs(lu[..., 0, 0]))
+        acc = _acclog(jnp.abs(lu[..., 0, 0]))
         for i in range(1, n):
-            acc = acc + jnp.log(jnp.abs(lu[..., i, i]))
+            acc = acc + _acclog(jnp.abs(lu[..., i, i]))
         return _downcast(acc, half)
     return _downcast(jnp.linalg.slogdet(a)[1], half)
 

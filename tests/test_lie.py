@@ -312,3 +312,100 @@ def test_logm_f32_tail(rng):
     rel = np.abs(got - X) / (np.abs(X) + 1e-30)
     assert np.median(rel) < 1e-6
     assert np.quantile(rel, 0.99) < 3e-5  # was ~6e-5 before the fix
+
+
+# --- symmetric eig route for 24 < d <= 32 (VERDICT r3 missing #2) ----------
+
+
+def _scipy_realcast_logm(batch):
+    return np.stack([np.real(sla.logm(m.astype(np.float64)))
+                     for m in batch])
+
+
+def test_logm_sym_eig_route_spd(rng):
+    """V.log|w|.V^T through the eig tier matches scipy real-cast for
+    SPD input at d > 24 (the logm kernel's cap). On TPU this is the
+    auto route for all-symmetric batches; here the helper is exercised
+    directly (the gate in _logm_plain is TPU-only)."""
+    from fastmath_tpu.ops.lie import _logm_sym_eig
+
+    d, b = 28, 12
+    a = rng.standard_normal((b, d, d)).astype(np.float32)
+    spd = (np.einsum("...ij,...kj->...ik", a, a) / d
+           + np.eye(d, dtype=np.float32))
+    L_, ok = _logm_sym_eig(jnp.asarray(spd))
+    assert bool(jnp.all(ok))
+    want = _scipy_realcast_logm(spd)
+    nw = (np.linalg.norm((np.asarray(L_, np.float64) - want)
+                         .reshape(b, -1), axis=-1)
+          / np.linalg.norm(want.reshape(b, -1), axis=-1))
+    assert nw.max() < 1e-5, nw.max()
+
+
+def test_logm_sym_eig_route_indefinite(rng):
+    """Symmetric with negative eigenvalues: the route returns the
+    real-cast principal log (V log|w| V^T) — same branch-cut contract
+    as the main path (reference `_impl/logm.py:81-83`)."""
+    from fastmath_tpu.ops.lie import _logm_sym_eig
+
+    d, b = 26, 8
+    a = rng.standard_normal((b, d, d)).astype(np.float32)
+    sym = 0.5 * (a + np.swapaxes(a, -1, -2)) + 0.0
+    # push eigenvalues away from 0 to keep the oracle well-posed
+    w, v = np.linalg.eigh(sym.astype(np.float64))
+    w = np.where(np.abs(w) < 0.3, np.sign(w) * 0.3 + (w == 0) * 0.3, w)
+    sym = np.einsum("...ik,...k,...jk->...ij", v, w, v).astype(np.float32)
+    sym = 0.5 * (sym + np.swapaxes(sym, -1, -2))
+    L_, ok = _logm_sym_eig(jnp.asarray(sym))
+    assert bool(jnp.all(ok))
+    want = _scipy_realcast_logm(sym)
+    nw = (np.linalg.norm((np.asarray(L_, np.float64) - want)
+                         .reshape(b, -1), axis=-1)
+          / np.linalg.norm(want.reshape(b, -1), axis=-1))
+    assert nw.max() < 2e-5, nw.max()
+
+
+def test_symmetric_mask(rng):
+    from fastmath_tpu.ops.lie import _symmetric_mask
+
+    a = rng.standard_normal((6, 27, 27)).astype(np.float32)
+    sym = 0.5 * (a + np.swapaxes(a, -1, -2))
+    mask = np.asarray(_symmetric_mask(jnp.asarray(sym)))
+    assert mask.all()
+    mask2 = np.asarray(_symmetric_mask(jnp.asarray(a)))
+    assert not mask2.any()
+    # mixed batch
+    mix = np.concatenate([sym[:3], a[:3]])
+    mask3 = np.asarray(_symmetric_mask(jnp.asarray(mix)))
+    assert mask3[:3].all() and not mask3[3:].any()
+
+
+def test_logm_plain_sym_route_cond(rng, monkeypatch):
+    """The d in (25..32) whole-batch cond picks the eig route for
+    all-symmetric batches and ISS otherwise; both give (L, ok) that
+    _logm_impl consumes identically. Forced here by faking the backend
+    gate (the route is TPU-only in production; eig_sym auto on CPU is
+    the XLA Jacobi, same algebra)."""
+    import fastmath_tpu.ops.lie as lie_mod
+
+    monkeypatch.setattr(lie_mod, "_on_tpu", lambda: True)
+    # _logm_plain's d <= 24 branch would call the Pallas logm kernel
+    # (interpret-mode minutes at d=28, and we want the 25..32 branch
+    # anyway) — d=26 goes straight to the cond branch
+    d, b = 26, 6
+    a = rng.standard_normal((b, d, d)).astype(np.float32)
+    spd = (np.einsum("...ij,...kj->...ik", a, a) / d
+           + np.eye(d, dtype=np.float32))
+    L_, ok = lie_mod._logm_plain(jnp.asarray(spd))
+    assert bool(jnp.all(ok))
+    want = _scipy_realcast_logm(spd)
+    nw = (np.linalg.norm((np.asarray(L_, np.float64) - want)
+                         .reshape(b, -1), axis=-1)
+          / np.linalg.norm(want.reshape(b, -1), axis=-1))
+    assert nw.max() < 1e-5, nw.max()
+    # asymmetric batch: cond must fall to ISS and still be correct
+    x = rng.standard_normal((b, d, d)).astype(np.float32) * (0.4 / d)
+    e = np.asarray(lie_mod._expm_core(jnp.asarray(x)))
+    L2, ok2 = lie_mod._logm_plain(jnp.asarray(e))
+    assert bool(jnp.all(ok2))
+    np.testing.assert_allclose(np.asarray(L2), x, rtol=1e-3, atol=2e-5)
