@@ -1,7 +1,7 @@
 """Closed-form analytic eig_sym tier (real symmetric, n <= 3).
 
-The analytic path is the `backend="auto"` default at n <= 3 (n <= 2
-with eigenvectors) on every platform — pure elementwise XLA, no
+The analytic path is the `backend="auto"` default at n <= 3 (values
+and eigenvectors) on every platform — pure elementwise XLA, no
 iteration (`ops/qr.py:_eig3_analytic_w`). Oracles are float64
 `np.linalg.eigvalsh`. Reference analog: the reference iterates
 shifted-QR even at n = 2 (`_impl/qr.py:533-657`); closed forms are the

@@ -133,13 +133,28 @@ class TestPublicDispatch:
                                    rtol=1e-6, atol=1e-8)
 
     def test_backend_validation(self, rng):
-        from fastmath_tpu.ops.qr import eig_sym
+        from fastmath_tpu.ops.qr import eig_sym, _EIG_PALLAS_MAX_N
 
         a = jnp.asarray(np.eye(3))
         with pytest.raises(ValueError):
             eig_sym(a, backend="nope")
+        # probe the *current* out-of-domain boundary (read the cap, don't
+        # hard-code it: round-3 shipped red because this test pinned 17
+        # after the tier grew to 32)
+        too_big = jnp.asarray(np.eye(_EIG_PALLAS_MAX_N + 1))
         with pytest.raises(ValueError):
-            eig_sym(jnp.asarray(np.eye(17)), backend="pallas")  # n > 16
+            eig_sym(too_big, backend="pallas")
+        # complex input is out of domain at any size
+        with pytest.raises(ValueError):
+            eig_sym(a.astype(jnp.complex64), backend="pallas")
+
+    def test_cap_matches_kernel_tier(self):
+        """The routing cap and the kernel's own cap must stay in sync —
+        when the kernel tier grows, the public raise-boundary follows."""
+        from fastmath_tpu.ops.qr import _EIG_PALLAS_MAX_N
+        from fastmath_tpu.kernels.eig_pallas import _MAX_N
+
+        assert _EIG_PALLAS_MAX_N == _MAX_N
 
 
 def test_clustered_eigenvalues(rng):

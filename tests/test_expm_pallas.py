@@ -104,8 +104,26 @@ def test_public_dispatch(rng):
     np.testing.assert_allclose(wp, wx, rtol=1e-11, atol=1e-13)
     with pytest.raises(ValueError):
         expm_public(Xj, backend="nope")
+    # probe the *current* out-of-domain boundary by reading the kernel
+    # cap (round-3 shipped red because this test pinned d=17 after the
+    # tier grew to 32)
+    from fastmath_tpu.kernels.expm_pallas import _MAX_D_ROLLED
+
+    big = np.zeros((2, _MAX_D_ROLLED + 1, _MAX_D_ROLLED + 1))
     with pytest.raises(ValueError):
-        expm_public(jnp.asarray(np.zeros((2, 17, 17))), backend="pallas")
+        expm_public(jnp.asarray(big), backend="pallas")
+    # complex input is out of domain at any size
+    with pytest.raises(ValueError):
+        expm_public(Xj.astype(np.complex64), backend="pallas")
+
+
+def test_public_cap_matches_kernel_tier():
+    """expm's routing cap must track the kernel tier (no hard-coded 32
+    in the public layer drifting from kernels/expm_pallas.py)."""
+    from fastmath_tpu.ops.lie import _EXPM_PALLAS_MAX_D
+    from fastmath_tpu.kernels.expm_pallas import _MAX_D_ROLLED
+
+    assert _EXPM_PALLAS_MAX_D == _MAX_D_ROLLED
 
 
 def test_grad_mathias_vs_xla(rng):
