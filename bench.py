@@ -11,8 +11,14 @@ Prints ONE JSON line:
   the op). Both sustained forms are measured and reported: the
   `lax.scan` of the public `sym_solve`, and the public fused-iteration
   chain kernel `sym_solve_chain` (same recurrence, loop run inside one
-  Pallas kernel with the matrix + cofactors register-resident); the
-  headline is the larger (both appear in the JSON).
+  Pallas kernel with the matrix + cofactors register-resident). The
+  headline `value`/`vs_baseline` is pinned to the **scan** form — the
+  like-for-like comparison against the reference's single-dispatch
+  solve. The fused-chain rate (a register-resident recurrence, ~1 HBM
+  byte/solve — a different workload class) is reported separately as
+  `value_fused_chain`/`vs_baseline_chain`, each ratio naming its
+  workload, so no single number divides a fused recurrence by a
+  single-dispatch baseline.
 - vs_baseline: ratio vs the reference implementation
   (`nitorch_fastmath._impl.sym.sym_solve`, its TorchScript closed-form
   path) executed with torch on this host's available torch device —
@@ -128,7 +134,10 @@ def bench_ours(spd, vec):
         f"med={np.median(nwc):.2e} max={nwc.max():.2e}",
         file=sys.stderr,
     )
-    solves_per_sec = max(fused_rate, scan_rate)
+    # headline = the scan form (independent dispatches of the public
+    # sym_solve — the workload class the torch-cpu baseline also runs);
+    # the fused chain is reported alongside under its own name
+    solves_per_sec = scan_rate
     bench_ours.rates = {"scan": scan_rate, "fused_chain": fused_rate}
 
     # accuracy gate on a slice (single application, fp32 vs f64 oracle).
@@ -233,10 +242,15 @@ def main():
         f"{'cpu'})={ref:.3e} solves/s",
         file=sys.stderr,
     )
+    rates = getattr(bench_ours, "rates", {})
+    fused = rates.get("fused_chain", 0.0)
     print(
         json.dumps(
             {
                 "metric": "1M-batch 4x4 sym_solve throughput (fp32, per chip)",
+                # headline: sustained lax.scan of the public sym_solve —
+                # independent full-batch dispatches, the same workload
+                # class as the baseline measurement below
                 "value": round(ours),
                 "unit": "solves/sec",
                 # basis: the reference's TorchScript closed-form solve on
@@ -245,12 +259,21 @@ def main():
                 # north star (>= 10x H100-TorchScript) cannot be measured
                 # in this environment; do not read this ratio as that one.
                 "vs_baseline": round(vs, 2),
+                "vs_baseline_workload": "per-dispatch solve rate vs the "
+                                        "reference's per-dispatch solve "
+                                        "rate (like for like)",
                 "baseline_hw": "torch-cpu (this host), reference "
                                "TorchScript sym_solve, 200k-batch",
-                "sustained_scan": round(getattr(
-                    bench_ours, "rates", {}).get("scan", 0.0)),
-                "sustained_fused_chain": round(getattr(
-                    bench_ours, "rates", {}).get("fused_chain", 0.0)),
+                # the fused-iteration chain kernel: the same k=128
+                # recurrence held register-resident inside one Pallas
+                # kernel (~1 HBM byte/solve). A different workload class
+                # — its ratio is labeled as such, not the headline.
+                "value_fused_chain": round(fused),
+                "vs_baseline_chain": round(fused / ref, 2) if ref else 0.0,
+                "vs_baseline_chain_workload": "register-resident fused "
+                                              "recurrence vs the same "
+                                              "single-dispatch baseline "
+                                              "(NOT like for like)",
             }
         )
     )
