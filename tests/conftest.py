@@ -4,6 +4,22 @@ Runs the whole suite on the CPU backend with 8 virtual devices so that
 multi-chip sharding (mesh/shard_map) is exercised without TPU hardware —
 the environment's stand-in for the reference's device-parametrized tests
 (reference ``tests/utils.py:5-30``). Must set env vars before jax import.
+
+Expected skips on the default CPU run (the green state is "0 failed,
+N skipped" where every skip is on this list; anything else is red):
+
+* backend-conditional (TPU-only fast paths whose interpret-mode
+  equivalents cost minutes and are covered by smaller-shape tests):
+  ``test_expm_pallas.py`` d=8 Mathias block, ``test_tpu_smoke.py``
+  n>16 / d>=6 smokes, ``test_rolled32.py`` hardware-mirror rows;
+* environment-conditional: ``test_native.py`` (entire module) when the
+  C++ tier didn't build, ``test_graft.py``/``test_parallel.py`` multi-
+  device tests when <8 virtual devices (never under this conftest);
+* API-shape skips that fire on every platform:
+  ``test_batched.py`` regularizer row, ``test_reduce.py`` keepdim row.
+
+Setting ``FASTMATH_TEST_PLATFORM=axon`` flips the backend-conditional
+group from skipped to run (and skips the interpret-only mirrors).
 """
 import os
 
