@@ -474,6 +474,25 @@ def main():
         medx, p99x = rel_err(np.asarray(fx(aj[:2048])), inv_want)
         record("batchinv 16x16 (public, XLA rolled PLU)", nb16, "f32",
                nb16, dtx, medx, p99x, "inv/s", bytes_per_item=2 * 256 * 4)
+        # batchmatmul 16x16: auto = XLA dot_general — the rolled
+        # stacked-grid kernel (round 4) measured 1.5-4.7x SLOWER
+        # standalone at every 8 <= n <= 32 (MXU tile padding is cheaper
+        # than k rank-1 VPU passes), so it is explicit-backend only;
+        # both rows recorded so the routing decision stays auditable
+        bmj = jax.device_put(jnp.asarray(
+            rng.standard_normal((nb16, 16, 16)).astype(np.float32)))
+        mm_want = (a[:2048].astype(np.float64)
+                   @ np.asarray(bmj[:2048], np.float64))
+        for bk, tag in (("auto", "auto=xla dot_general"),
+                        ("pallas", "forced pallas")):
+            f = jax.jit(lambda p, q, b=bk: B_.batchmatmul(p, q, backend=b))
+            dt = honest_time(f, aj, bmj, calls=8)
+            got = np.asarray(f(aj[:2048], bmj[:2048]))
+            med, p99 = rel_err(got, mm_want)
+            record(f"batchmatmul 16x16 ({tag})", nb16, "f32", nb16, dt,
+                   med, p99, "mm/s", bytes_per_item=3 * 256 * 4,
+                   nw_max=normwise(got, mm_want))
+        del bmj
         from fastmath_tpu.ops import sugar as SU
 
         for meth in ("lu", "chol"):
@@ -873,15 +892,20 @@ def main():
             record(f"logm {d_l}x{d_l}", b_l, "f32", b_l, dt, med, p99,
                    "logm/s", bytes_per_item=2 * d_l * d_l * 4)
             del Xlj, Elj
-        # 24 < d <= 32: the logm kernel tier ends at 24 (Mosaic compile
-        # time); symmetric batches route through the rolled Jacobi eig
-        # kernel (V.log|w|.V^T — ops/lie.py), non-normal input falls to
-        # the XLA ISS tier. Both measured (VERDICT r3 missing #2: the
-        # d=25..32 rows used to fall 40x down the ISS cliff).
+        # Symmetric batches at 12 <= d <= 32 route through the rolled
+        # Jacobi eig kernel (V.log|w|.V^T — ops/lie.py): measured
+        # faster than the register kernel from d=12 up, and past the
+        # kernel's d=24 Mosaic-compile cap it replaces the XLA ISS
+        # tier. Route + fallback both measured (VERDICT r3 missing #2:
+        # the d=25..32 rows used to fall 40x down the ISS cliff; the
+        # non-sym logm {8,16,24} rows above are the kernel fallback;
+        # non-sym d > 24 keeps plain-XLA ISS — routing its inner
+        # inverses through the Pallas PLU measured a 4x loss, see
+        # ops/lie.py:_inv_small).
         if backend == "tpu":
             from fastmath_tpu.ops.lie import _iss_log_core as _iss
 
-            for d_s in (28, 32):
+            for d_s in (16, 28, 32):
                 b_s = BIG // 64
                 a_s = spd_batch(rng, b_s, d_s) / d_s  # spectrum O(1)
                 aj_s = jax.device_put(jnp.asarray(a_s))
@@ -898,13 +922,16 @@ def main():
                 record(f"logm {d_s}x{d_s} SPD (auto->sym eig route)", b_s,
                        "f32", b_s, dt, med, p99, "logm/s",
                        bytes_per_item=2 * d_s * d_s * 4, nw_max=nrm)
-                f_i = jax.jit(lambda t: _iss(t)[0])
-                dt_i = honest_time(f_i, aj_s, calls=2)
-                med_i, p99_i = rel_err(
-                    np.asarray(f_i(aj_s[:256]), np.float64), want_s)
-                record(f"logm {d_s}x{d_s} (XLA ISS tier)", b_s, "f32",
-                       b_s, dt_i, med_i, p99_i, "logm/s",
-                       bytes_per_item=2 * d_s * d_s * 4)
+                if d_s > 24:
+                    # d <= 24's asymmetric fallback (register kernel)
+                    # already has rows above; past 24 it's the ISS tier
+                    f_i = jax.jit(lambda t: _iss(t)[0])
+                    dt_i = honest_time(f_i, aj_s, calls=2)
+                    med_i, p99_i = rel_err(
+                        np.asarray(f_i(aj_s[:256]), np.float64), want_s)
+                    record(f"logm {d_s}x{d_s} (XLA ISS tier)", b_s,
+                           "f32", b_s, dt_i, med_i, p99_i, "logm/s",
+                           bytes_per_item=2 * d_s * d_s * 4)
                 del a_s, aj_s
         # meanm: the reference's worst device-boundary case (SURVEY
         # 3.4 — its logm is a per-matrix scipy loop on CPU, so meanm

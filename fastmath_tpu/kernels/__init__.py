@@ -15,7 +15,7 @@ from .sym_pallas import (
 )
 from .eig_pallas import eig_sym_cf
 from .batched_pallas import (chol_cf, det_cf, inv_cf, logdet_cf,
-                             matvec_full_cf, solve_full_cf)
+                             matmul_cf, matvec_full_cf, solve_full_cf)
 from .expm_pallas import expm_cf
 from .logm_pallas import logm_cf
 
@@ -36,6 +36,7 @@ __all__ = [
     "inv_cf",
     "logdet_cf",
     "chol_cf",
+    "matmul_cf",
     "matvec_full_cf",
     "solve_full_cf",
     "expm_cf",

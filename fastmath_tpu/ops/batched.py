@@ -38,7 +38,8 @@ from .sym import _det_expand  # shared trace-time Laplace expansion
 _PALLAS_MAX_N = 32
 
 
-def _route_full(backend, n, dtype, batch, auto=True, n_max=_PALLAS_MAX_N):
+def _route_full(backend, n, dtype, batch, auto=True, n_max=_PALLAS_MAX_N,
+                what="square real-float batches"):
     """Routing decision for the full-storage batched ops (mirrors
     ``ops/sym.py:_route_compact``). ``n_max`` is the calling op's
     kernel cap (32 for both the PLU and Cholesky families) so a forced
@@ -57,7 +58,7 @@ def _route_full(backend, n, dtype, batch, auto=True, n_max=_PALLAS_MAX_N):
         dtype=dtype,
         small_n=n <= _CLOSED_FORM_MAX,
         why_unsupported=(
-            f"pallas tier serves square real-float batches with "
+            f"pallas tier serves {what} with "
             f"n <= {n_max} (got n={n}, {jnp.dtype(dtype).name})"
         ),
     )
@@ -353,25 +354,57 @@ def batchmatvec(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
     return _downcast(out, half)
 
 
-def batchmatmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def batchmatmul(
+    a: jnp.ndarray, b: jnp.ndarray, backend: str = "auto"
+) -> jnp.ndarray:
     """Batched matmul ``(..., m, k) @ (..., k, n) -> (..., m, n)``,
     trace-time unrolled into fused elementwise ops when every dim is
-    <= 6.
+    <= 6, MXU ``dot_general`` (``precision="highest"``) beyond.
 
     The reference *removed* its ``batchmatmul`` as "not reliably faster"
-    on GPU (``batched.py:10-12``); on TPU the unrolled form is ~10x
-    faster than ``dot_general`` for tiny matrices (a 4x4 per-item
-    matmul occupies a 128x128 MXU tile almost entirely with padding,
-    while the unrolled form is pure lane-parallel VPU work — measured
-    2.4e6 -> 2.6e7 expm/s, ``BENCH_MEASURED.md``), so this build
-    resurrects it and routes ``lie.expm``/``logm`` through it.
+    on GPU (``batched.py:10-12``); on TPU the unrolled tiny tier is a
+    real ~10x win over ``dot_general`` (a 4x4 per-item product pads a
+    128x128 MXU tile almost entirely with zeros while the unrolled form
+    is pure lane-parallel VPU work — measured 2.4e6 -> 2.6e7 expm/s,
+    ``BENCH_MEASURED.MD``), so this build resurrects it and routes
+    ``lie.expm``/``logm`` through it. At 7 <= dim <= 32 a rolled
+    stacked-grid Pallas kernel exists (``backend="pallas"``,
+    :func:`fastmath_tpu.kernels.matmul_cf`) but hardware measurement
+    puts XLA's batched ``dot_general`` 1.5-4.7x ahead at every size
+    8..32 (1.4e8 vs 3.7e7 mm/s at 16x16/500k — the MXU eats the tile
+    padding far better than the VPU eats k rank-1 FMA passes), so
+    ``auto`` never routes; the kernel remains available for fusion
+    inside larger Pallas pipelines. The Pallas path carries a custom
+    VJP (reverse-mode only); forward-mode AD (``jax.jvp`` /
+    ``jacfwd``) needs the default path.
     """
     a, b, half = upcast_half(a, b)
     m, k = a.shape[-2:]
     k2, n = b.shape[-2:]
     if k != k2:
         raise ValueError(f"matmul shape mismatch: {a.shape} @ {b.shape}")
-    if max(m, k, n) > _MATMUL_UNROLL_MAX:
+    dims = max(m, k, n)
+    batch_shape = np.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+    if _route_full(
+        backend, dims, jnp.result_type(a, b),
+        int(np.prod(batch_shape, dtype=np.int64)),
+        # never auto-route: measured on v5e, XLA's batched dot_general
+        # beats the stacked-grid kernel 1.5-4.7x across 8 <= dim <= 32
+        # (BENCH_MEASURED.md batchmatmul rows) — dot_general's MXU tile
+        # padding is cheaper than the kernel's k rank-1 VPU passes
+        auto=False,
+        what="real-float batches, every dim",
+    ):
+        from ..kernels.batched_pallas import matmul_cf
+
+        ab = jnp.broadcast_to(a, (*batch_shape, m, k))
+        bb = jnp.broadcast_to(b, (*batch_shape, k, n))
+        acf = jnp.moveaxis(ab.reshape(*batch_shape, m * k), -1, 0)
+        bcf = jnp.moveaxis(bb.reshape(*batch_shape, k * n), -1, 0)
+        out = matmul_cf(acf, bcf, m, n, bm=True)
+        out = jnp.moveaxis(out, 0, -1).reshape(*batch_shape, m, n)
+        return _downcast(out, half)
+    if dims > _MATMUL_UNROLL_MAX:
         return _downcast(jnp.matmul(a, b, precision="highest"), half)
     rows = []
     for i in range(m):

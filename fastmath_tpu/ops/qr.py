@@ -584,18 +584,24 @@ def _giles_da(w, u, dw, du):
     symmetric, so the gradient lives on the symmetric subspace).
     Reference analog: _impl/qr.py:714-735. ``du`` may be None
     (eigenvalues-only cotangent)."""
+    from .batched import batchmatmul as _bmm
+
     n = w.shape[-1]
     eye = jnp.eye(n, dtype=w.dtype)
     inner = eye * dw[..., :, None]
+    # matmuls via batchmatmul: trace-time unrolled VPU form at
+    # n <= 6 (~10x dot_general for tiny per-item products), XLA
+    # dot_general at precision="highest" beyond — same contraction as
+    # the einsums it replaces
     if du is not None:
-        ut_du = jnp.einsum("...ji,...jk->...ik", u, du, precision="highest")
+        ut_du = _bmm(jnp.swapaxes(u, -1, -2), du)
         diff = w[..., None, :] - w[..., :, None]
         f = jnp.where(
             jnp.abs(diff) > 1e-300, 1.0 / jnp.where(diff == 0, 1.0, diff), 0.0
         )
         f = f * (1.0 - eye)
         inner = inner + f * ut_du
-    da = jnp.einsum("...ij,...jk,...lk->...il", u, inner, u, precision="highest")
+    da = _bmm(_bmm(u, inner), jnp.swapaxes(u, -1, -2))
     return 0.5 * (da + jnp.swapaxes(da, -1, -2))
 
 
@@ -622,8 +628,20 @@ def _pallas_eig(sym, sweeps, compute_u):
     cf = jnp.moveaxis(full_to_sym(sym).reshape(-1, n * (n + 1) // 2), -1, 0)
     # bm=True: the lazy batch-major transpose above composes with the
     # kernel's block-major repack into one block-local relayout — the
-    # same trick that closed the solve path's routed-vs-direct gap
-    out = eig_sym_cf(cf, compute_u=compute_u, sweeps=sweeps, bm=True)
+    # same trick that closed the solve path's routed-vs-direct gap.
+    # block: the kernel default (8192) left the routed path ~25% below
+    # kernel-direct at 4x4 (BENCH r3/r4) — fewer, larger grid steps
+    # amortize the per-step DMA. Live rows = nn in + n w (+ n^2 u),
+    # x block x 4 B x 2 (double buffer): 32768 at n <= 4 values-only
+    # (14 rows -> 3.7 MB), 16384 with vectors (30 rows -> 3.9 MB),
+    # 8192 for 5 <= n <= 8 (up to 108 rows -> 7.1 MB); the rolled
+    # n > 8 tier pins its own block (1024) internally.
+    if n <= 4:
+        block = 16384 if compute_u else 32768
+    else:
+        block = 8192
+    out = eig_sym_cf(cf, compute_u=compute_u, sweeps=sweeps, block=block,
+                     bm=True)
     if compute_u:
         w_cf, u_cf = out
     else:

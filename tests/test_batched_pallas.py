@@ -240,3 +240,65 @@ def test_rolled_tier_public_routing(rng):
         np.testing.assert_allclose(
             np.asarray(sym_det(c, backend=backend)), np.linalg.det(spd),
             rtol=1e-8)
+
+
+@pytest.mark.parametrize("mkn", [(4, 4, 4), (8, 5, 3), (16, 16, 16),
+                                 (12, 7, 20), (32, 32, 32)])
+def test_matmul_cf(mkn, rng):
+    from fastmath_tpu.kernels.batched_pallas import matmul_cf
+
+    m, k, n = mkn
+    b = 300
+    A = rng.standard_normal((b, m, k))
+    B = rng.standard_normal((b, k, n))
+    acf = jnp.moveaxis(jnp.asarray(A.reshape(b, m * k)), -1, 0)
+    bcf = jnp.moveaxis(jnp.asarray(B.reshape(b, k * n)), -1, 0)
+    got = np.moveaxis(np.asarray(matmul_cf(acf, bcf, m, n, block=256)),
+                      0, -1).reshape(b, m, n)
+    np.testing.assert_allclose(got, A @ B, rtol=1e-12, atol=1e-12)
+
+
+def test_matmul_cf_grad(rng):
+    from fastmath_tpu.kernels.batched_pallas import matmul_cf
+
+    m, k, n, b = 6, 9, 5, 64
+    A = rng.standard_normal((b, m, k))
+    B = rng.standard_normal((b, k, n))
+    acf = jnp.moveaxis(jnp.asarray(A.reshape(b, m * k)), -1, 0)
+    bcf = jnp.moveaxis(jnp.asarray(B.reshape(b, k * n)), -1, 0)
+
+    def f(a, bb):
+        return jnp.sum(jnp.sin(matmul_cf(a, bb, m, n, block=128)))
+
+    def f_ref(a, bb):
+        am = jnp.moveaxis(a, 0, -1).reshape(b, m, k)
+        bm = jnp.moveaxis(bb, 0, -1).reshape(b, k, n)
+        return jnp.sum(jnp.sin(am @ bm))
+
+    g1, g2 = jax.grad(f, argnums=(0, 1))(acf, bcf)
+    h1, h2 = jax.grad(f_ref, argnums=(0, 1))(acf, bcf)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(h1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(h2), atol=1e-12)
+
+
+def test_batchmatmul_public_routing(rng):
+    """batchmatmul agrees across backends (incl. rectangular +
+    broadcast batches); forced pallas raises out of domain."""
+    from fastmath_tpu.ops.batched import batchmatmul
+
+    A = rng.standard_normal((128, 16, 12)).astype(np.float32)
+    B = rng.standard_normal((128, 12, 20)).astype(np.float32)
+    want = A @ B
+    for backend in ("pallas", "xla", "auto"):
+        got = np.asarray(batchmatmul(jnp.asarray(A), jnp.asarray(B),
+                                     backend=backend))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # broadcast leading dims
+    A2 = rng.standard_normal((1, 7, 7)).astype(np.float32)
+    B2 = rng.standard_normal((64, 7, 7)).astype(np.float32)
+    got2 = np.asarray(batchmatmul(jnp.asarray(A2), jnp.asarray(B2),
+                                  backend="pallas"))
+    np.testing.assert_allclose(got2, A2 @ B2, rtol=2e-5, atol=2e-5)
+    with pytest.raises(ValueError):
+        batchmatmul(jnp.zeros((8, 33, 33), np.float32),
+                    jnp.zeros((8, 33, 33), np.float32), backend="pallas")

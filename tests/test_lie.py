@@ -409,3 +409,93 @@ def test_logm_plain_sym_route_cond(rng, monkeypatch):
     L2, ok2 = lie_mod._logm_plain(jnp.asarray(e))
     assert bool(jnp.all(ok2))
     np.testing.assert_allclose(np.asarray(L2), x, rtol=1e-3, atol=2e-5)
+
+
+def test_logm_plain_sym_route_cond_kernel_range(rng, monkeypatch):
+    """Round 4: the symmetric eig route extends DOWN into the register
+    kernel's range (12 <= d <= 24, measured 1.4-4x faster there) with
+    the kernel as the cond fallback for asymmetric batches; and
+    ``sym_route=False`` (meanm's contract) bypasses the cond entirely."""
+    import fastmath_tpu.ops.lie as lie_mod
+
+    monkeypatch.setattr(lie_mod, "_on_tpu", lambda: True)
+    assert lie_mod._LOGM_SYM_EIG_MIN_D <= 12
+    d, b = 12, 6
+    a = rng.standard_normal((b, d, d)).astype(np.float32)
+    spd = (np.einsum("...ij,...kj->...ik", a, a) / d
+           + np.eye(d, dtype=np.float32))
+    L_, ok = lie_mod._logm_plain(jnp.asarray(spd))
+    assert bool(jnp.all(ok))
+    want = _scipy_realcast_logm(spd)
+    nw = (np.linalg.norm((np.asarray(L_, np.float64) - want)
+                         .reshape(b, -1), axis=-1)
+          / np.linalg.norm(want.reshape(b, -1), axis=-1))
+    assert nw.max() < 1e-5, nw.max()
+    # asymmetric batch at d=12: cond falls to the register kernel
+    # (interpret mode here) and still returns the right log
+    x = rng.standard_normal((b, d, d)).astype(np.float32) * (0.4 / d)
+    e = np.asarray(lie_mod._expm_core(jnp.asarray(x)))
+    L2, ok2 = lie_mod._logm_plain(jnp.asarray(e))
+    assert bool(jnp.all(ok2))
+    np.testing.assert_allclose(np.asarray(L2), x, rtol=1e-3, atol=2e-5)
+    # sym_route=False: no cond — the symmetric batch goes through the
+    # fallback tier (kernel here), not the eig route
+    calls = []
+    real_route = lie_mod._logm_sym_eig
+
+    def spy(A):
+        calls.append(A.shape)
+        return real_route(A)
+
+    monkeypatch.setattr(lie_mod, "_logm_sym_eig", spy)
+    L3, ok3 = lie_mod._logm_plain(jnp.asarray(spd), sym_route=False)
+    assert bool(jnp.all(ok3))
+    assert not calls, "sym_route=False must not trace the eig route"
+    nw3 = (np.linalg.norm((np.asarray(L3, np.float64) - want)
+                          .reshape(b, -1), axis=-1)
+           / np.linalg.norm(want.reshape(b, -1), axis=-1))
+    assert nw3.max() < 1e-4, nw3.max()
+
+
+def test_inv_small_routing(rng, monkeypatch):
+    """The ISS inner inverse (`_inv_small`) uses the fused
+    batchinv tier through d <= 8 and `jnp.linalg.inv` beyond — the
+    rolled-Pallas-PLU variant for d = 25..32 was measured a 4x LOSS
+    on hardware (two non-fusible HBM relayouts per while_loop
+    iteration; docstring carries the record)."""
+    import fastmath_tpu.ops.lie as lie_mod
+    import fastmath_tpu.ops.batched as batched_mod
+
+    calls = []
+    real_batchinv = batched_mod.batchinv
+
+    def spy(a, *args, **kw):
+        calls.append(a.shape[-1])
+        return real_batchinv(a, *args, **kw)
+
+    monkeypatch.setattr(batched_mod, "batchinv", spy)
+
+    def spd(d, dtype=np.float64):
+        a = rng.standard_normal((4, d, d)).astype(dtype)
+        return np.einsum("...ij,...kj->...ik", a, a) / d + np.eye(
+            d, dtype=dtype)
+
+    for d, routed in ((6, True), (8, True), (12, False), (28, False)):
+        m = spd(d)
+        got = np.asarray(lie_mod._inv_small(jnp.asarray(m)))
+        np.testing.assert_allclose(
+            got, np.linalg.inv(m), rtol=1e-8, atol=1e-10)
+        assert (calls and calls[-1] == d) == routed, (d, calls)
+    n_before = len(calls)
+    # complex d > 8 and real d > 32 stay on jnp.linalg.inv
+    mc = spd(12) + 1j * rng.standard_normal((4, 12, 12)) * 0.1
+    mc = mc + np.conj(np.swapaxes(mc, -1, -2))  # normal-ish, invertible
+    mc = mc @ np.conj(np.swapaxes(mc, -1, -2)) / 12 + np.eye(12)
+    got = np.asarray(lie_mod._inv_small(jnp.asarray(mc)))
+    np.testing.assert_allclose(got, np.linalg.inv(mc), rtol=1e-8,
+                               atol=1e-10)
+    m40 = spd(40)
+    got = np.asarray(lie_mod._inv_small(jnp.asarray(m40)))
+    np.testing.assert_allclose(got, np.linalg.inv(m40), rtol=1e-8,
+                               atol=1e-10)
+    assert len(calls) == n_before, "complex/d>32 must not route"
