@@ -366,7 +366,7 @@ def batchmatmul(
     real ~10x win over ``dot_general`` (a 4x4 per-item product pads a
     128x128 MXU tile almost entirely with zeros while the unrolled form
     is pure lane-parallel VPU work — measured 2.4e6 -> 2.6e7 expm/s,
-    ``BENCH_MEASURED.MD``), so this build resurrects it and routes
+    ``BENCH_MEASURED.md``), so this build resurrects it and routes
     ``lie.expm``/``logm`` through it. At 7 <= dim <= 32 a rolled
     stacked-grid Pallas kernel exists (``backend="pallas"``,
     :func:`fastmath_tpu.kernels.matmul_cf`) but hardware measurement
