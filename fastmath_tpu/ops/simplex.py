@@ -32,6 +32,12 @@ import jax.numpy as jnp
 
 from ..core.shapes import ensure_tuple
 
+# core.accmath.log, not jnp.log, on every log-output path: XLA TPU's
+# f32 log is ~4000 ulp worst-case (measured round 4); it dominated
+# logsumexp's f32 tail (p99 3.2e-5, BENCH r4). ~15 VPU ops, invisible
+# next to the exp/reduce this module is bound by.
+from ..core.accmath import log as _log
+
 __all__ = [
     "logsumexp",
     "softmax",
@@ -90,7 +96,7 @@ def _lse_core(x, dim: int, implicit: bool):
     s = jnp.sum(jnp.exp(x - m), axis=dim, keepdims=True)
     if implicit:
         s = s + jnp.exp(-m)
-    return m + jnp.log(s)
+    return m + _log(s)
 
 
 def _lse_fwd(x, dim, implicit):
@@ -212,12 +218,12 @@ def logit(
     implicit_in, implicit_out = ensure_tuple(implicit, 2)
     if implicit_in:
         hidden = 1.0 - jnp.sum(x, axis=dim, keepdims=True)
-        ref = jnp.log(jnp.maximum(hidden, 1e-8))
-        out = jnp.log(x) - ref
+        ref = _log(jnp.maximum(hidden, 1e-8))
+        out = _log(x) - ref
         if not implicit_out:
             out = _insert_class(out, 0.0, dim, implicit_index)
         return out
-    logx = jnp.log(x)
+    logx = _log(x)
     axis = dim % x.ndim
     idx = _norm_index(implicit_index, x.shape[axis])
     ref = jax.lax.slice_in_dim(logx, idx, idx + 1, axis=axis)
@@ -247,7 +253,7 @@ def softmax_lse(
     if implicit_in:
         s = s + jnp.exp(-m)
     p = e / s
-    lse = m + jnp.log(s)
+    lse = m + _log(s)
     if weights is not None:
         lse = lse * weights
     acc_dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32

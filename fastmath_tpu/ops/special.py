@@ -30,6 +30,12 @@ import math
 import jax.numpy as jnp
 from jax.scipy import special as jsp
 
+# core.accmath.log, not jnp.log, on every log-output path: XLA TPU's
+# f32 log is ~4000 ulp worst-case (measured round 4) — it alone put
+# besseli(mode="log")'s f32 tail at p99 3.7e-4 (BENCH r4); the
+# accurate log restores the library's ~1e-6 class at ~15 VPU ops.
+from ..core.accmath import log as _log
+
 __all__ = [
     "mvdigamma",
     "besseli",
@@ -76,7 +82,7 @@ def _besseli_01(nu: int, z, code: int):
     if code == 1:  # norm: I_nu(z) / e^z  (z >= 0)
         return ie
     if code == 2:  # log
-        return jnp.log(ie) + z
+        return _log(ie) + z
     return ie * jnp.exp(z)
 
 
@@ -84,7 +90,7 @@ def _besseli_series_log(nu: float, z, m_terms: int):
     """log I_nu(z) by the ascending series, log-sum-exp pivoted on the
     first term (reference ``special.py:173-210`` stabilization)."""
     lgamma_nu_1 = math.lgamma(nu + 1)
-    x = jnp.log(0.5 * z)
+    x = _log(0.5 * z)
     # sum_{m>=1} exp(2m*x - (lgamma(m+1) + lgamma(m+1+nu) - lgamma(nu+1)))
     f = jnp.exp(2 * x - (math.lgamma(2) + math.lgamma(nu + 2) - lgamma_nu_1))
     for m in range(2, max(m_terms, 2)):
@@ -92,7 +98,7 @@ def _besseli_series_log(nu: float, z, m_terms: int):
             2 * m * x - (math.lgamma(m + 1) + math.lgamma(m + 1 + nu) - lgamma_nu_1)
         )
     f = f + 1.0
-    return jnp.log(f) + nu * x - lgamma_nu_1
+    return _log(f) + nu * x - lgamma_nu_1
 
 
 def _besseli_large_log(nu: float, z, minus_z: bool = False):
@@ -122,12 +128,12 @@ def _besseli_large_log(nu: float, z, minus_z: bool = False):
     t2 = jnp.sqrt(1.0 + (z2 / nu) ** 2)
     if minus_z:
         # nu*t1 - z1 = z1*(sqrt(1+(nu/z1)^2) - 1) = nu^2/(z1*(tmp1+1))
-        e1 = nu * nu / (z1 * (tmp1 + 1.0)) - nu * jnp.log(nu / z1 + tmp1)
+        e1 = nu * nu / (z1 * (tmp1 + 1.0)) - nu * _log(nu / z1 + tmp1)
         # nu*t2 - z2 = nu*(sqrt(1+w^2) - w) = nu/(t2 + w),  w = z2/nu
-        e2 = nu / (t2 + z2 / nu) + nu * jnp.log(z2 / (nu * (1.0 + t2)))
+        e2 = nu / (t2 + z2 / nu) + nu * _log(z2 / (nu * (1.0 + t2)))
     else:
-        e1 = nu * (t1 - jnp.log(nu / z1 + tmp1))
-        e2 = nu * (t2 + jnp.log(z2 / (nu * (1.0 + t2))))
+        e1 = nu * (t1 - _log(nu / z1 + tmp1))
+        e2 = nu * (t2 + _log(z2 / (nu * (1.0 + t2))))
     t = jnp.where(big, 1.0 / t1, 1.0 / t2)
     expo = jnp.where(big, e1, e2)
 
@@ -159,7 +165,7 @@ def _besseli_large_log(nu: float, z, minus_z: bool = False):
     ) / den
 
     half_log_2pi = 0.9189385332046727
-    return expo + 0.5 * (jnp.log(t) - math.log(nu)) - half_log_2pi + jnp.log(us)
+    return expo + 0.5 * (_log(t) - math.log(nu)) - half_log_2pi + _log(us)
 
 
 def besseli(nu: float, z, mode=None):

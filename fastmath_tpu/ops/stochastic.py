@@ -254,5 +254,9 @@ def vbald(
             break
 
     # logdet(A) = N * (E[log lam] + log(upper))
-    elog = jnp.mean(jnp.log(lam_mc) * _factexp(lam_mc, coeff))
-    return numel * (elog + jnp.log(upper))
+    # core.accmath.log, not jnp.log: the output IS a log and XLA TPU's
+    # f32 log is ~4000 ulp worst-case (round-4 finding).
+    from ..core.accmath import log as _acclog
+
+    elog = jnp.mean(_acclog(lam_mc) * _factexp(lam_mc, coeff))
+    return numel * (elog + _acclog(upper))
