@@ -36,6 +36,11 @@ __all__ = ["logm_cf"]
 
 _MAX_D = 8
 _MAX_D_ROLLED = 24
+#: flat-loop tier (single while_loop, no nested while): serves
+#: 24 < d <= 32 where the nested kernel's Mosaic compile explodes
+#: (>27 min at d=32 vs ~2 min at d=24 — CHANGELOG r3); the flat body
+#: compiles like the expm/PLU flat kernels (~1-3 min at d=32)
+_MAX_D_FLAT = 32
 _ISS_MAX = 12
 #: matches ops.lie._DB_ITERS: near-cut (but off-cut) eigenvalues need
 #: ~log2(1/dist) iterations of the unscaled product-form iteration;
@@ -309,6 +314,101 @@ def _logm_rolled_kernel(d, order, db_tol, mat_ref, out_ref):
             out_ref[i * d + j] = L[i, j]
 
 
+def _logm_flat_kernel(d, order, db_tol, mat_ref, out_ref):
+    """Flat-loop inverse scaling-and-squaring for 24 < d <= 32.
+
+    Same algebra as :func:`_logm_rolled_kernel` but restructured as ONE
+    ``lax.while_loop`` whose body is a single Denman-Beavers step plus a
+    *masked commit*: when the current square-root run converges
+    (block-global test, same semantics as the nested form's inner
+    while), the lanes still above the series threshold commit
+    ``A <- sqrt(A)``, update the cancellation-free ``A - I`` track
+    ``D <- D (A_s + I)^{-1}`` (Al-Mohy & Higham 2012), bump their
+    square-root count, and the DB state resets to the new ``A``. The
+    commit inverse is paid every iteration (masked out when not
+    committing) — ~1.5x the nested body's work — but the kernel's
+    loop nesting drops from while(while(fori)) to while(fori), which
+    is what keeps the Mosaic compile tractable at d = 32 (the nested
+    form was killed at >27 min; flat-loop kernels of this size compile
+    in ~1-3 min — CLAUDE.md round-3 findings). Reference analog:
+    ``_impl/logm.py:102-126`` (scipy per-matrix, uncapped d).
+    """
+    lane = mat_ref[0].shape
+    dt = mat_ref[0].dtype
+    A0 = jnp.stack([mat_ref[r] for r in range(d * d)],
+                   axis=0).reshape((d, d) + lane)
+    eye = _eye_st(d, lane, dt)
+
+    def dist2(G):
+        return jnp.sum((G - eye) ** 2, axis=(0, 1))
+
+    def any_active(d2, tol2):
+        return jnp.any(jnp.where(jnp.isfinite(d2), d2, 0.0) > tol2)
+
+    def inv_st(M):
+        U, R, _ = _plu_rolled(M, eye)
+        return _plu_rolled_backsub(U, R)
+
+    thresh2 = _THRESH * _THRESH
+    tol2 = db_tol * db_tol
+
+    def cond(c):
+        return (c[6] < _ISS_MAX * _DB_ITERS) & any_active(
+            dist2(c[0]), thresh2
+        )
+
+    def body(c):
+        A, D, M, Y, k, db_it, tot = c
+        # one product-form DB step (unscaled: divergence to NaN is the
+        # branch-cut signal, as in the nested kernels)
+        Minv = inv_st(M)
+        T = M + eye
+        Yn = 0.5 * _mm_st(_mm_st(Y, Minv, d), T, d)
+        Mn = 0.25 * _mm_st(Minv, _mm_st(T, T, d), d)
+        db_it = db_it + 1
+        d2m = dist2(Mn)
+        db_done = (~any_active(d2m, tol2)) | (db_it >= _DB_ITERS)
+        # per-lane sqrt validity: cap-expired lanes must come back NaN
+        # (on-cut eigenvalues bounce forever — same contract as nested)
+        conv = jnp.isfinite(d2m) & (d2m <= (8 * db_tol) ** 2)
+        Ys = jnp.where(conv[None, None], Yn, jnp.nan)
+        d2a = dist2(A)
+        need = jnp.isfinite(d2a) & (d2a > thresh2)
+        commit = db_done & need
+        cb = commit[None, None]
+        # masked commit work — computed every iteration, used only when
+        # db_done (NaN lanes in Ys propagate NaN here and are masked)
+        Dn = _mm_st(D, inv_st(Ys + eye), d)
+        A2 = jnp.where(cb, Ys, A)
+        D2 = jnp.where(cb, Dn, D)
+        k2 = k + commit.astype(k.dtype)
+        M2 = jnp.where(db_done, A2, Mn)
+        Y2 = jnp.where(db_done, A2, Yn)
+        db_it2 = jnp.where(db_done, jnp.int32(0), db_it)
+        return A2, D2, M2, Y2, k2, db_it2, tot + jnp.int32(1)
+
+    k0 = jnp.zeros(lane, dt)
+    A, Am, _, _, k, _, _ = jax.lax.while_loop(
+        cond, body,
+        (A0, A0 - eye, A0, A0, k0, jnp.int32(0), jnp.int32(0)),
+    )
+    d2 = dist2(A)
+    bad = ~(jnp.isfinite(d2) & (d2 <= thresh2))
+
+    # log(A) = 2 atanh(Z), Z = (A - I)(A + I)^{-1}; Gregory series
+    Z = _mm_st(Am, inv_st(A + eye), d)
+    Z2 = _mm_st(Z, Z, d)
+    acc = eye / order
+    for m in range(order - 2, 0, -2):
+        acc = eye / m + _mm_st(Z2, acc, d)
+    L = _mm_st(Z, acc, d)
+    scale = jnp.where(bad, jnp.nan, 2.0 * jnp.exp2(k))[None, None]
+    L = L * scale
+    for i in range(d):
+        for j in range(d):
+            out_ref[i * d + j] = L[i, j]
+
+
 def logm_cf(
     mat: jnp.ndarray,
     block: Optional[int] = None,
@@ -316,22 +416,24 @@ def logm_cf(
     bm: bool = False,
 ) -> jnp.ndarray:
     """Channel-first batched matrix logarithm ``(d*d, ...) ->
-    (d*d, ...)`` (Pallas; row-major channels, real d <= 24).
+    (d*d, ...)`` (Pallas; row-major channels, real d <= 32).
 
     One-memory-pass inverse scaling-and-squaring (see module
     docstring); d <= 8 unrolls the register grid per entry,
     9 <= d <= 24 runs the same algebra rolled on stacked
     ``(d, d, *lane)`` grids with rolled-PLU inverses
-    (:func:`_logm_rolled_kernel`). Forward-only — for gradients use
+    (:func:`_logm_rolled_kernel`), and 24 < d <= 32 uses the flat
+    single-while restructuring (:func:`_logm_flat_kernel`) whose
+    Mosaic compile stays tractable. Forward-only — for gradients use
     :func:`fastmath_tpu.ops.lie.logm`, whose Mathias VJP wraps this
     kernel's forward on TPU. Real inputs whose principal log is
     complex yield NaNs (same divergence contract as ``lie.logm``).
     """
     mat = jnp.asarray(mat)
     d = int(round(np.sqrt(mat.shape[0])))
-    if d * d != mat.shape[0] or d > _MAX_D_ROLLED:
+    if d * d != mat.shape[0] or d > _MAX_D_FLAT:
         raise ValueError(
-            f"logm_cf expects (d*d, ...) rows with d <= {_MAX_D_ROLLED}; "
+            f"logm_cf expects (d*d, ...) rows with d <= {_MAX_D_FLAT}; "
             f"got {mat.shape[0]} channels"
         )
     if block is None:
@@ -351,20 +453,29 @@ def logm_cf(
     db_tol = float(jnp.finfo(mat.dtype).eps) * 8 * d
     batch_shape = mat.shape[1:]
     m2 = mat.reshape(mat.shape[0], -1)
-    kern = functools.partial(
-        _logm_kernel if d <= _MAX_D else _logm_rolled_kernel,
-        d, order, db_tol)
+    if d <= _MAX_D:
+        body = _logm_kernel
+    elif d <= _MAX_D_ROLLED:
+        body = _logm_rolled_kernel
+    else:
+        # 24 < d <= 32: the nested while(while(fori)) form's Mosaic
+        # compile explodes (>27 min at d=32, killed); the flat
+        # single-while restructuring compiles like the expm/PLU flat
+        # kernels and pays ~1.5x per-iteration work (masked commit
+        # inverse) for it — still ~10x+ the XLA ISS tier on hardware.
+        body = _logm_flat_kernel
+    kern = functools.partial(body, d, order, db_tol)
     # The rolled tier's live stacked grids (A, D, M, Y, PLU scratch,
     # Gregory accumulators) total ~17 MiB at d=16 x block 1024 — over
     # Mosaic's 16 MiB default scoped-VMEM stack (measured OOM by
     # 864 KiB on v5e). Raise the limit; block 1024 is already the
     # stacked-grid minimum so it cannot shrink instead.
     # ~17 MiB of live grids at d=16 scales ~d^2: 32 MiB serves
-    # 9 <= d <= 16, 64 MiB to d=24. The tier caps at 24, not 32:
-    # d=32's ~68 MiB of live nested-while state sends the Mosaic
-    # compile past 27 minutes (measured; d=24 compiles in ~2 min and
-    # runs 23x the XLA ISS path) — d > 24 serves the XLA tier.
-    if d > 16:
+    # 9 <= d <= 16, 64 MiB to d=24; the flat tier's extra commit
+    # grids at d <= 32 need ~96 MiB (v5e has 128 MiB physical VMEM).
+    if d > _MAX_D_ROLLED:
+        vmem_limit = 100 * 1024 * 1024
+    elif d > 16:
         vmem_limit = 64 * 1024 * 1024
     elif d > _MAX_D:
         vmem_limit = 32 * 1024 * 1024

