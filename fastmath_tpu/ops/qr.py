@@ -983,6 +983,62 @@ def _eig3_analytic_wu_bwd(res, cot):
 _eig3_analytic_wu.defvjp(_eig3_analytic_wu_fwd, _eig3_analytic_wu_bwd)
 
 
+def _polish_wu(sym, w, u):
+    """Second-order eigen-pair polish for an approximate symmetric /
+    Hermitian eigendecomposition ``(w, u)`` of ``sym`` (9 batched
+    matmuls — trivial next to the Jacobi iteration that produced it).
+
+    The f32 Jacobi floor (CLAUDE.md round-4 findings): the *iterated
+    matrix* converges but the accumulated ``U`` drifts — worst-lane
+    ``off(U^T A U)`` stalls at ~4e-5..4e-4 * ||A||_F and U loses
+    orthogonality at ~sqrt(#rotations) * eps ~ 1e-5, no matter how many
+    extra sweeps run. Two corrections push both defects to second
+    order (the same pair that took the logm sym-eig route from 1e-4 to
+    3.2e-7 normwise, :func:`fastmath_tpu.ops.lie._logm_sym_eig`):
+
+    * one Newton-Schulz step ``U <- U (3I - U^H U) / 2`` squares the
+      orthogonality error away (~1e-5 -> ~1e-9);
+    * first-order Rayleigh-Schroedinger correction at ``M = U^H A U``:
+      eigenvalues become the Rayleigh quotients ``diag(M)`` (accurate
+      to O(||E||^2), E = off(M)) and eigenvectors absorb
+      ``U <- U (I + Y)``, ``Y_ij = E_ij (w_j - w_i) / ((w_j - w_i)^2 +
+      theta^2)`` — a Tikhonov-damped divided difference: for resolved
+      gaps it is the exact first-order term; for near-degenerate pairs
+      (gap <~ theta = 1e-3 * spectral scale) it fades to zero, where
+      the within-cluster off-diagonal is already O(orth-drift) because
+      any orthonormal basis of the cluster is an eigenbasis. ``Y`` is
+      anti-Hermitian, so ``I + Y`` preserves the fresh orthogonality
+      to second order.
+
+    Differentiable (plain composition of matmuls/selects on top of the
+    Giles custom-VJP core). Reference quality contract analog:
+    ``_impl/qr.py:684-735``.
+    """
+    from .batched import batchmatmul as _bmm
+
+    n = u.shape[-1]
+    eye = jnp.eye(n, dtype=u.dtype)
+    uh = jnp.swapaxes(jnp.conjugate(u), -1, -2)
+    u = _bmm(u, 1.5 * eye - 0.5 * _bmm(uh, u))
+    uh = jnp.swapaxes(jnp.conjugate(u), -1, -2)
+    M = _bmm(_bmm(uh, sym), u)
+    w2 = jnp.real(jnp.diagonal(M, axis1=-2, axis2=-1))
+    den = w2[..., None, :] - w2[..., :, None]
+    scale = jnp.max(jnp.abs(w2), axis=-1)
+    tiny = float(jnp.finfo(w2.dtype).tiny)
+    theta = (1e-3 * scale + tiny).astype(w2.dtype)[..., None, None]
+    corr = den / (den * den + theta * theta)  # real; broadcasts into E
+    E = M - w2[..., :, None].astype(u.dtype) * eye
+    u = _bmm(u, eye + E * corr)
+    # second NS: the damped correction is anti-Hermitian only to
+    # O(Y^2) ~ 1e-6 — squaring that away lands orthogonality AND
+    # off(U^H A U) in the ~1e-7 class (measured: orth 2.9e-6 ->
+    # 3.4e-7, off/fro 5.2e-7 -> 1.5e-7 at n=20 f32)
+    uh = jnp.swapaxes(jnp.conjugate(u), -1, -2)
+    u = _bmm(u, 1.5 * eye - 0.5 * _bmm(uh, u))
+    return w2.astype(jnp.real(w).dtype), u
+
+
 def eig_sym(
     a,
     compute_u: bool = False,
@@ -992,6 +1048,7 @@ def eig_sym(
     max_iter: int = 1024,
     tol: float = 1e-32,
     backend: str = "auto",
+    polish: Optional[bool] = None,
 ):
     """Batched eigendecomposition of symmetric matrices via cyclic
     Jacobi (see module docstring for the redesign rationale).
@@ -1014,6 +1071,17 @@ def eig_sym(
     on **every** backend (``jax.custom_vjp`` has no JVP rule). For
     forward-mode derivatives of eigenvalues use the Giles identities
     directly (``dw = diag(U^T dA U)``) on the primal outputs.
+
+    ``polish`` (needs ``compute_u=True``): one Newton-Schulz
+    orthogonality step + a Tikhonov-damped first-order Rayleigh
+    eigen-pair correction (:func:`_polish_wu`, 9 batched matmuls).
+    Default ``None`` = auto: on for single-precision iterative paths
+    (where the f32 Jacobi floor leaves ``off(U^T A U)`` at
+    ~1e-4 * ||A||_F and U orthogonality at ~1e-5 — polish takes both
+    to the ~1e-7 class, measured in ``tests/test_qr.py``), off for
+    f64 and the exact n <= 3 analytic forms. The polish feeds the
+    returned eigenvalues (Rayleigh quotients) and composes with the
+    Giles VJP through ordinary AD.
     """
     a = _check_finite_square(a, check_finite)
     from ..core.dtypes import upcast_half
@@ -1048,8 +1116,26 @@ def eig_sym(
     use_pallas = backend == "pallas" or (
         backend == "auto" and not use_analytic and pallas_ok
         and jax.default_backend() == "tpu"
+        # Mosaic has no f64: auto never sends x64-on-TPU data to the
+        # kernels (forced backend="pallas" still works in interpret
+        # mode on CPU, where the f64 tests run)
+        and float(jnp.finfo(a.dtype).eps) > 1e-10
     )
+    if polish is None:
+        # auto: the f32 Jacobi floor (off(U^T A U) stall ~1e-4 * fro,
+        # U orthogonality drift ~1e-5) only afflicts the *iterative*
+        # single-precision paths — polish there; f64 sits at ~1e-14
+        # and the n <= 3 analytic forms are closed-form exact
+        polish = (
+            compute_u
+            and n >= 2
+            and not use_analytic
+            and float(jnp.finfo(a.dtype).eps) > 1e-10
+        )
+
     def _out(w, u=None):
+        if u is not None and polish and n >= 2:
+            w, u = _polish_wu(sym, w, u)
         if half is not None:
             w = w.astype(half)
             u = u if u is None else u.astype(half)

@@ -385,3 +385,107 @@ def test_rq_hessenberg(rng):
     rq = np.asarray(Q.rq_hessenberg(jnp.asarray(h)))
     np.testing.assert_allclose(rq, np.asarray(r) @ np.asarray(q),
                                rtol=1e-9, atol=1e-9)
+
+
+# --- eig_sym polish (round 5, VERDICT r4 next #4) ---------------------------
+
+
+def _eig_quality(sym, w, u):
+    """(orthogonality defect, off(U^T A U)/fro) per lane, in f64."""
+    w = np.asarray(w, np.float64)
+    u = np.asarray(u, np.float64)
+    n = u.shape[-1]
+    fro = np.linalg.norm(sym.reshape(sym.shape[0], -1), axis=-1)
+    orth = np.abs(
+        np.einsum("bij,bik->bjk", u, u) - np.eye(n)).max(axis=(-2, -1))
+    R = np.einsum("bji,bjk,bkl->bil", u, sym.astype(np.float64), u)
+    off = np.abs(R - w[:, :, None] * np.eye(n)).max(axis=(-2, -1)) / fro
+    return orth, off
+
+
+@pytest.mark.parametrize("n", [12, 20])
+def test_eig_sym_polish_f32(n, rng):
+    """polish (auto-on for f32 iterative paths) takes the f32 Jacobi
+    floor — U orthogonality drift ~1e-5, off(U^T A U) stall at
+    ~1e-5..1e-4 * fro — to the ~1e-7 class, and Rayleigh-quotient
+    eigenvalues beat the iterated-matrix diagonal ~8x (measured)."""
+    b = 64
+    a = rng.standard_normal((b, n, n)).astype(np.float32)
+    sym = 0.5 * (a + np.swapaxes(a, -1, -2))
+    w0, u0 = Q.eig_sym(jnp.asarray(sym), compute_u=True, backend="xla",
+                       polish=False)
+    w1, u1 = Q.eig_sym(jnp.asarray(sym), compute_u=True, backend="xla")
+    orth0, off0 = _eig_quality(sym, w0, u0)
+    orth1, off1 = _eig_quality(sym, w1, u1)
+    assert orth1.max() < 1e-6, orth1.max()
+    assert off1.max() < 1e-6, off1.max()
+    assert orth1.max() < orth0.max() and off1.max() < off0.max() * 0.5
+    wref = np.linalg.eigvalsh(sym.astype(np.float64))
+    fro = np.linalg.norm(sym.reshape(b, -1), axis=-1)[:, None]
+    e0 = (np.abs(np.sort(np.asarray(w0, np.float64), -1) - wref)
+          / fro).max()
+    e1 = (np.abs(np.sort(np.asarray(w1, np.float64), -1) - wref)
+          / fro).max()
+    assert e1 < 5e-7 and e1 < e0, (e0, e1)
+
+
+def test_eig_sym_polish_near_degenerate(rng):
+    """Tikhonov damping: clustered eigenvalues must not blow up the
+    first-order correction (the raw divided difference would divide by
+    ~0); polished quality still beats unpolished."""
+    n, b = 10, 16
+    w = np.linspace(1.0, 2.0, n)
+    w[3] = w[2] + 1e-6  # near-degenerate pair, gap << theta
+    a = rng.standard_normal((b, n, n))
+    q, _ = np.linalg.qr(a)
+    sym = np.einsum("bik,k,bjk->bij", q, w, q).astype(np.float32)
+    sym = 0.5 * (sym + np.swapaxes(sym, -1, -2))
+    w1, u1 = Q.eig_sym(jnp.asarray(sym), compute_u=True, backend="xla")
+    assert np.isfinite(np.asarray(w1)).all()
+    assert np.isfinite(np.asarray(u1)).all()
+    orth1, off1 = _eig_quality(sym, w1, u1)
+    assert orth1.max() < 1e-6
+    # within-cluster off-diagonal is bounded by the damped term, not
+    # amplified: still well under the unpolished f32 floor
+    assert off1.max() < 5e-6
+
+
+def test_eig_sym_polish_hermitian(rng):
+    n, b = 8, 24
+    ar = rng.standard_normal((b, n, n)).astype(np.float32)
+    ai = rng.standard_normal((b, n, n)).astype(np.float32)
+    h = (ar + 1j * ai).astype(np.complex64)
+    h = 0.5 * (h + np.conj(np.swapaxes(h, -1, -2)))
+    w1, u1 = Q.eig_sym(jnp.asarray(h), compute_u=True)
+    u = np.asarray(u1, np.complex128)
+    orth = np.abs(np.einsum("bij,bik->bjk", u.conj(), u)
+                  - np.eye(n)).max()
+    assert orth < 1e-6, orth
+    R = np.einsum("bji,bjk,bkl->bil", u.conj(), h.astype(np.complex128), u)
+    fro = np.linalg.norm(h.reshape(b, -1), axis=-1)[:, None, None]
+    off = np.abs(R - np.asarray(w1, np.float64)[:, :, None] * np.eye(n))
+    assert (off / fro).max() < 1e-6
+
+
+def test_eig_sym_polish_f64_and_grad(rng):
+    """Forced polish on f64 must stay at machine-precision quality
+    (auto leaves it off there), and the polish composes with the Giles
+    VJP through ordinary AD."""
+    n, b = 6, 8
+    a = rng.standard_normal((b, n, n))
+    sym = 0.5 * (a + np.swapaxes(a, -1, -2))
+    w1, u1 = Q.eig_sym(jnp.asarray(sym), compute_u=True, backend="xla",
+                       polish=True)
+    orth1, off1 = _eig_quality(sym, w1, u1)
+    assert orth1.max() < 1e-13 and off1.max() < 1e-12
+
+    co = jnp.asarray(rng.standard_normal((b, n)))
+
+    def loss(x, polish):
+        w = Q.eig_sym(x, compute_u=True, backend="xla", polish=polish)[0]
+        return jnp.sum(co * w)
+
+    gp = jax.grad(lambda x: loss(x, True))(jnp.asarray(sym))
+    g0 = jax.grad(lambda x: loss(x, False))(jnp.asarray(sym))
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(g0),
+                               rtol=1e-7, atol=1e-9)
