@@ -391,6 +391,19 @@ def sym_solve_chain(
     runs exactly that scan. Both are differentiable (the kernel's VJP
     replays the scan of per-step solve VJPs; memory
     O(iters * batch)).
+
+    **Error-growth contract** (f32, identical for both backends — the
+    rounding enters through the per-step products, not an accumulator,
+    so compensated/Kahan summation does not apply): relative to the
+    exact recurrence, the normwise error after ``k`` iterations is a
+    random walk of per-step roundings — measured at 4x4
+    (``tests/test_sym_pallas_fused.py::test_chain_error_growth``):
+    median ~``sqrt(k) * eps``, p99 ~``k * eps`` (k=128: med 1.3e-6,
+    p99 4e-6; a single solve is ~``eps``). Worst lanes can exceed this
+    when the recurrence itself cancels (``||x_k||`` decays far below
+    the per-step scale) — that amplification is the problem's
+    conditioning, not the kernel's. For f64-class tails run under
+    ``jax_enable_x64``.
     """
     import jax as _jax
 
@@ -470,6 +483,15 @@ def sym_matvec_chain(
     (matrix block register-resident across all iterations; pure FMA
     per step — the cheapest chain body); ``"xla"`` runs the
     ``lax.scan`` of :func:`sym_matvec`. Both differentiable.
+
+    **Error-growth contract** (f32, identical for both backends; see
+    :func:`sym_solve_chain` for the rationale): normwise error vs the
+    exact recurrence is median ~``sqrt(k) * eps``, p99 ~``k * eps``
+    (measured at 4x4, k=128: med 1.3e-6, p99 4.3e-6 — the
+    ``BENCH_MEASURED.md`` chain row's 3e-5 *max* at k=128 is this
+    ``k * eps`` tail on cancellation-amplified lanes). Treating the
+    chain as "k exact matvecs" is wrong by exactly this law; use
+    ``jax_enable_x64`` for f64-class tails.
     """
     import jax as _jax
 

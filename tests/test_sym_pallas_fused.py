@@ -151,3 +151,40 @@ class TestJhJ:
         for a, b in zip(g, gw):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-9, atol=1e-11)
+
+
+# --- chain error-growth contract (round 5, VERDICT r4 next #7) --------------
+
+
+@pytest.mark.parametrize("k", [8, 128])
+def test_chain_error_growth(k, rng):
+    """The documented law: normwise error vs the exact recurrence is
+    median ~ sqrt(k)*eps and p99 ~ k*eps in f32 (rounding enters via
+    per-step products — a random walk, not an accumulator). Gates both
+    the public XLA scan and the fused kernel (interpret mode here;
+    identical FMA algebra on hardware)."""
+    from fastmath_tpu.ops.sym import sym_matvec_chain
+
+    B, n = 4096, 4
+    a = rng.standard_normal((B, n, n))
+    A = np.einsum("...ij,...kj->...ik", a, a) / n + np.eye(n)
+    w = np.linalg.eigvalsh(A)[:, -1]
+    A = A * (0.98 / w)[:, None, None]
+    v = rng.standard_normal((B, n))
+    iu = np.triu_indices(n, 1)
+    compact = np.concatenate(
+        [np.diagonal(A, axis1=-2, axis2=-1), A[:, iu[0], iu[1]]], axis=-1)
+    Af = jnp.asarray(compact.astype(np.float32))
+    vf = jnp.asarray(v.astype(np.float32))
+    x = v.copy()
+    for _ in range(k):
+        x = np.einsum("...ij,...j->...i", A, x)
+    eps = 1.19e-7
+    for backend in ("xla", "pallas"):
+        got = np.asarray(
+            sym_matvec_chain(Af, vf, iters=k, backend=backend), np.float64)
+        nw = (np.linalg.norm(got - x, axis=-1)
+              / np.linalg.norm(x, axis=-1))
+        assert np.median(nw) < 2 * np.sqrt(k) * eps, (backend, np.median(nw))
+        assert np.quantile(nw, 0.99) < 4 * k * eps, (
+            backend, np.quantile(nw, 0.99))
