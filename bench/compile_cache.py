@@ -56,6 +56,13 @@ eye = jnp.asarray(np.eye(24, dtype=np.float32).reshape(576, 1))
 args = (cf + 1.5 * eye,)
 fn = logm_cf
 """),
+    ("logm d=32 (flat-loop tier)", """
+from fastmath_tpu.kernels.logm_pallas import logm_cf
+cf = jnp.zeros((1024, 1024), jnp.float32)
+eye = jnp.asarray(np.eye(32, dtype=np.float32).reshape(1024, 1))
+args = (cf + 1.5 * eye,)
+fn = logm_cf
+"""),
     ("batchinv n=32 (rolled PLU)", """
 from fastmath_tpu.ops.batched import batchinv
 a = jnp.broadcast_to(2.0 * jnp.eye(32, dtype=jnp.float32), (1024, 32, 32))

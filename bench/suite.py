@@ -197,7 +197,8 @@ def main():
     ap.add_argument("--small", action="store_true", help="reduced batch sizes")
     ap.add_argument("--section", default="all",
                     help="comma-set of {sym,chain,batched,gate16,rolled32,"
-                         "eig,dct,lie,reduce,solve8,bf16,maxeig,misc}")
+                         "eig,dct,lie,reduce,solve8,bf16,maxeig,misc,"
+                         "families}")
     args = ap.parse_args()
     sections = set(args.section.split(","))
 
@@ -945,7 +946,11 @@ def main():
         Xg = rng.standard_normal((G, K, 4, 4)).astype(np.float32) * 0.25
         Ag = np.asarray(jax.jit(L.expm)(jnp.asarray(Xg)))
         Agj = jax.device_put(jnp.asarray(Ag))
-        fmean = jax.jit(jax.vmap(lambda m: L.meanm(m, max_iter=64)))
+        # native leading-batch meanm (round 5): the G barycenters run
+        # lane-parallel through the kernels in ONE while_loop —
+        # vmap(meanm) would batch the pallas_call per problem instead
+        # (one padded grid step per barycenter; measured ~65x slower)
+        fmean = jax.jit(lambda m: L.meanm(m, max_iter=64))
         import warnings as _w
         with _w.catch_warnings():
             _w.simplefilter("ignore")  # x64-off fallback warning
@@ -1054,6 +1059,191 @@ def main():
             record(f"lmdiv {meth} 8x8", MID, "f32", MID, dt, med, p99,
                    "solves/s", bytes_per_item=(64 + 16 + 16) * 4)
         del a8, b8, a8j, b8j
+
+    # --- previously-unmeasured families (round 5, VERDICT r4 next #5) -------
+    if on("families"):
+        # qr/hessenberg family — the reference's hottest in-repo
+        # TorchScript kernels (`_impl/qr.py:432-531`). Accuracy columns
+        # are reconstruction residuals (the families' defining
+        # contracts): hessenberg reports ||U^H H U - A||, qr_hessenberg
+        # ||QR - H||, rq_hessenberg ||Q RQ Q^T - H|| — all relative,
+        # f64-accumulated.
+        n_h, b_h = 6, MID
+        ah = rng.standard_normal((b_h, n_h, n_h)).astype(np.float32)
+        ahj = jax.device_put(jnp.asarray(ah))
+        f_hes = jax.jit(lambda x: Q.hessenberg(x, check_finite=False))
+        dt = honest_time(f_hes, ahj, calls=16)
+        h1, u1 = jax.jit(lambda x: Q.hessenberg(
+            x, compute_u=True, check_finite=False))(ahj[:2048])
+        recon = np.asarray(Q.householder_apply(
+            h1, u1, side="both", inverse=True), np.float64)
+        med, p99 = rel_err(recon, ah[:2048])
+        record(f"hessenberg {n_h}x{n_h}", b_h, "f32", b_h, dt, med, p99,
+               "red/s", bytes_per_item=2 * n_h * n_h * 4)
+
+        hj = jax.device_put(jax.jit(
+            lambda x: Q.hessenberg(x, check_finite=False))(ahj))
+        f_qr = jax.jit(lambda x: Q.qr_hessenberg(x, check_finite=False))
+        dt = honest_time(f_qr, hj, calls=16)
+        q2, r2 = f_qr(hj[:2048])
+        med, p99 = rel_err(
+            np.einsum("...ij,...jk->...ik", np.asarray(q2, np.float64),
+                      np.asarray(r2, np.float64)),
+            np.asarray(hj[:2048], np.float64))
+        record(f"qr_hessenberg {n_h}x{n_h} (givens)", b_h, "f32", b_h, dt,
+               med, p99, "qr/s", bytes_per_item=3 * n_h * n_h * 4)
+
+        f_rq = jax.jit(lambda x: Q.rq_hessenberg(x, check_finite=False))
+        dt = honest_time(f_rq, hj, calls=16)
+        rq2 = np.asarray(f_rq(hj[:2048]), np.float64)
+        q64 = np.asarray(q2, np.float64)
+        med, p99 = rel_err(
+            np.einsum("...ij,...jk,...lk->...il", q64, rq2, q64),
+            np.asarray(hj[:2048], np.float64))
+        record(f"rq_hessenberg {n_h}x{n_h} (QR-iteration kernel)", b_h,
+               "f32", b_h, dt, med, p99, "rq/s",
+               bytes_per_item=2 * n_h * n_h * 4)
+        # sustained: the QR-iteration loop itself (H <- RQ)
+        dt = chained_time(lambda x: Q.rq_hessenberg(x, check_finite=False),
+                          hj, k=16, calls=8)
+        record(f"rq_hessenberg {n_h}x{n_h} sustained (chain k=16)", b_h,
+               "f32", b_h, dt, None, None, "rq/s",
+               bytes_per_item=2 * n_h * n_h * 4)
+
+        n_t = 8
+        at = spd_batch(rng, b_h, n_t)
+        atj = jax.device_put(jnp.asarray(at))
+        f_tri = jax.jit(lambda x: Q.hessenberg_sym(x, check_finite=False))
+        dt = honest_time(f_tri, atj, calls=16)
+        t1, ut = jax.jit(lambda x: Q.hessenberg_sym(
+            x, compute_u=True, check_finite=False))(atj[:2048])
+        recon = np.asarray(Q.householder_apply(
+            t1, ut, side="both", inverse=True), np.float64)
+        med, p99 = rel_err(recon, at[:2048])
+        record(f"hessenberg_sym {n_t}x{n_t} (tridiag)", b_h, "f32", b_h,
+               dt, med, p99, "red/s", bytes_per_item=2 * n_t * n_t * 4)
+        del ah, ahj, hj, at, atj
+
+        # eig_sym polish cost (round-5 `polish=` surface): n=16 rolled
+        # pallas tier with/without the 9-matmul second-order polish
+        a16p = spd_batch(rng, MID, 16)
+        a16pj = jax.device_put(jnp.asarray(a16p))
+        ww16p = np.sort(np.linalg.eigvalsh(
+            a16p[:2048].astype(np.float64)), -1)
+        for pol in (False, True):
+            fp = jax.jit(lambda x, p=pol: Q.eig_sym(
+                x, compute_u=True, check_finite=False, polish=p)[0])
+            dtp = honest_time(fp, a16pj, calls=8)
+            medp, p99p = rel_err(
+                np.sort(np.asarray(fp(a16pj[:2048])), -1), ww16p)
+            record(f"eig_sym 16x16 vectors polish={pol}", MID, "f32",
+                   MID, dtp, medp, p99p, "eig/s",
+                   bytes_per_item=(256 + 16 + 256) * 4)
+        del a16p, a16pj
+
+        # stochastic family (`stochastic.py:9-142`): accuracy columns
+        # are the estimators' sampling errors (their contract), vs
+        # exact trace/logdet oracles
+        from fastmath_tpu.ops import stochastic as ST
+
+        nst, bst = 64, 512
+        ast = rng.standard_normal((bst, nst, nst)).astype(np.float32)
+        spdst = (np.einsum("...ij,...kj->...ik", ast, ast) / nst
+                 + np.eye(nst, dtype=np.float32))
+        sj = jax.device_put(jnp.asarray(spdst))
+        # batched tensors are ONE block-diagonal operator to the
+        # stochastic family (reference single-operator contract):
+        # oracles are the global trace-sum / logdet-sum / max eigenvalue
+        key = jax.random.key(0)
+        tr_want = np.trace(spdst.astype(np.float64),
+                           axis1=-2, axis2=-1).sum()
+        for hpp in (False, True):
+            f_tr = jax.jit(lambda m, h=hpp: ST.trapprox(
+                m, samples=64, hutchpp=h, key=key))
+            dt = honest_time(f_tr, sj, calls=8)
+            med, p99 = rel_err(np.asarray(f_tr(sj), np.float64), tr_want)
+            nm = "hutch++" if hpp else "hutchinson"
+            record(f"trapprox {nm} {bst}x{nst} blockdiag s=64", bst,
+                   "f32", bst, dt, med, p99, "mat/s",
+                   bytes_per_item=nst * nst * 4)
+        f_vb = jax.jit(lambda m: ST.vbald(m, key=key))
+        dt = honest_time(f_vb, sj, calls=4)
+        ld_want = np.linalg.slogdet(spdst.astype(np.float64))[1].sum()
+        med, p99 = rel_err(np.asarray(f_vb(sj), np.float64), ld_want)
+        record(f"vbald {bst}x{nst} blockdiag", bst, "f32", bst, dt, med,
+               p99, "mat/s", bytes_per_item=nst * nst * 4)
+        f_me = jax.jit(lambda m: ST.maxeig_power(m, max_iter=256,
+                                                 key=key))
+        dt = honest_time(f_me, sj, calls=8)
+        w_want = np.linalg.eigvalsh(spdst.astype(np.float64))[:, -1].max()
+        med, p99 = rel_err(np.asarray(f_me(sj), np.float64), w_want)
+        record(f"maxeig_power {bst}x{nst} blockdiag", bst, "f32", bst,
+               dt, med, p99, "mat/s", bytes_per_item=nst * nst * 4)
+        del ast, spdst, sj
+
+        # dct/dst types 1/3/4 + an N-D row (type 2 already measured)
+        xd = rng.standard_normal((MID, 64)).astype(np.float32)
+        xdj = jax.device_put(jnp.asarray(xd))
+        for typ in (1, 3, 4):
+            f_d = jax.jit(lambda t, ty=typ: RT.dct(t, type=ty,
+                                                   norm="ortho"))
+            dt = honest_time(f_d, xdj, calls=16)
+            want = sfft.dct(xd[:4096].astype(np.float64), type=typ,
+                            norm="ortho")
+            med, p99 = rel_err(np.asarray(f_d(xdj[:4096])), want)
+            record(f"dct-{'I' * typ if typ < 4 else 'IV'} n=64 ortho",
+                   MID, "f32", MID, dt, med, p99, "rows/s",
+                   bytes_per_item=2 * 64 * 4,
+                   flops_per_item=2 * 64 * 64, mxu_hi=True)
+        f_dst = jax.jit(lambda t: RT.dst(t, type=4, norm="ortho"))
+        dt = honest_time(f_dst, xdj, calls=16)
+        want = sfft.dst(xd[:4096].astype(np.float64), type=4, norm="ortho")
+        med, p99 = rel_err(np.asarray(f_dst(xdj[:4096])), want)
+        record("dst-IV n=64 ortho", MID, "f32", MID, dt, med, p99,
+               "rows/s", bytes_per_item=2 * 64 * 4,
+               flops_per_item=2 * 64 * 64, mxu_hi=True)
+        del xd, xdj
+        x2d = rng.standard_normal((8192, 32, 32)).astype(np.float32)
+        x2dj = jax.device_put(jnp.asarray(x2d))
+        f_n = jax.jit(lambda t: RT.dctn(t, axes=(-2, -1), norm="ortho"))
+        dt = honest_time(f_n, x2dj, calls=16)
+        want = sfft.dctn(x2d[:1024].astype(np.float64), axes=(-2, -1),
+                         norm="ortho")
+        med, p99 = rel_err(np.asarray(f_n(x2dj[:1024])), want)
+        record("dctn 32x32 2-D ortho", 8192, "f32", 8192, dt, med, p99,
+               "imgs/s", bytes_per_item=2 * 32 * 32 * 4,
+               flops_per_item=4 * 32 * 32 * 32, mxu_hi=True)
+        del x2d, x2dj
+
+        # expm_derivatives at the SE(3) F=6 gate (BASELINE configs):
+        # value+grad+Hessian, one coupled Taylor recursion vs jacfwd
+        B6 = np.zeros((6, 4, 4), np.float32)
+        B6[0, 0, 3] = B6[1, 1, 3] = B6[2, 2, 3] = 1
+        B6[3, 0, 1], B6[3, 1, 0] = 1, -1
+        B6[4, 0, 2], B6[4, 2, 0] = 1, -1
+        B6[5, 1, 2], B6[5, 2, 1] = 1, -1
+        bde = MID
+        cde = (rng.standard_normal((bde, 6)) * 0.4).astype(np.float32)
+        cdej = jax.device_put(jnp.asarray(cde))
+        b6j = jnp.asarray(B6)
+        # f64 oracle on a slice via the jacfwd path (norm-safe, exact
+        # derivative of scaling-and-squaring); jacfwd runs first so its
+        # Hessian is the taylor row's accuracy reference
+        for method in ("jacfwd", "taylor"):
+            f_ed = jax.jit(lambda c, m=method: L.expm_derivatives(
+                c, b6j, grad_X=True, hess_X=True, method=m)[2])
+            dt = honest_time(f_ed, cdej, calls=8)
+            got = np.asarray(f_ed(cdej[:512]), np.float64)
+            if method == "jacfwd":
+                want_h = got
+                med = p99 = 0.0
+            else:
+                med, p99 = rel_err(got, want_h)
+            record(f"expm_derivatives F=6 val+grad+hess ({method})",
+                   bde, "f32", bde, dt,
+                   None if method == "jacfwd" else med,
+                   None if method == "jacfwd" else p99,
+                   "items/s", bytes_per_item=(6 + 16 + 96 + 576) * 4)
 
     # --- bf16 input rows (BASELINE configs[3] extended to [0]/[2]) ----------
     if on("bf16"):

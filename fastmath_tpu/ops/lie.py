@@ -527,14 +527,19 @@ def _logm_exceptional(A):
     from .qr import eig_sym
 
     _, V = eig_sym(C, compute_u=True, check_finite=False, backend="xla")
-    lam = jnp.einsum("...ij,...ij->...j", jnp.conj(V), mm(Ac, V))
+    # precision="highest": a default-precision einsum on TPU runs bf16
+    # MXU passes (~1e-3 relative) — the same trap that floored meanm
+    lam = jnp.einsum("...ij,...ij->...j", jnp.conj(V), mm(Ac, V),
+                     precision="highest")
     Ln = jnp.einsum(
-        "...ik,...k,...jk->...ij", V, jnp.log(lam), jnp.conj(V)
+        "...ik,...k,...jk->...ij", V, jnp.log(lam), jnp.conj(V),
+        precision="highest"
     )
     # accept the diagonalization only where it actually reproduces A
     # (guards the Re+t*Im eigenvalue-collision case, where V mixes
     # distinct eigenspaces and the reconstruction visibly fails)
-    recon = jnp.einsum("...ik,...k,...jk->...ij", V, lam, jnp.conj(V))
+    recon = jnp.einsum("...ik,...k,...jk->...ij", V, lam, jnp.conj(V),
+                       precision="highest")
     r2 = jnp.sum(jnp.abs(recon - Ac) ** 2, axis=(-2, -1))
     diag_ok = r2 <= (64 * eps) ** 2 * jnp.maximum(a2, 1e-30)
 

@@ -45,7 +45,12 @@ def _as_matvec(matvec, shape, dtype):
         dtype = mat.dtype
 
         def mv(x):
-            return jnp.matmul(mat, x[..., None])[..., 0]
+            # precision="highest": TPU's default f32 matmul runs bf16
+            # MXU passes (~1e-3 relative) — fine under MC sampling
+            # error, but maxeig_power's Rayleigh quotient converges
+            # deterministically and would inherit the bf16 floor
+            return jnp.matmul(mat, x[..., None],
+                              precision="highest")[..., 0]
 
         return mv, tuple(shape), dtype
     if shape is None:
@@ -78,6 +83,11 @@ def trapprox(
     Hutchinson (1989) by default; ``hutchpp=True`` uses the Hutch++
     low-rank-deflation variant (Meyer et al. 2021): QR of the probe
     image + residual correction (reference ``stochastic.py:96-133``).
+
+    A batched tensor argument is treated as ONE block-diagonal
+    operator (the reference's single-operator contract): the estimate
+    is the **sum** of the per-matrix traces, a scalar. For per-matrix
+    batched estimates, vmap over the batch axis.
     Returns scalar if ``moments is None`` else a ``(moments,)`` vector.
     """
     mv, shape, dtype = _as_matvec(matvec, shape, dtype)
@@ -98,7 +108,9 @@ def trapprox(
         # orthonormal basis of the probe image: deflate the top subspace
         qbasis, _ = jnp.linalg.qr(mv_batch(q).T)  # (numel, s)
         qbasis = qbasis.T  # (s, numel)
-        g = g - (g @ qbasis.T) @ qbasis
+        g = g - jnp.matmul(
+            jnp.matmul(g, qbasis.T, precision="highest"), qbasis,
+            precision="highest")
         t = []
         mq, mg = qbasis, g
         for _ in range(nmom):
@@ -131,7 +143,15 @@ def maxeig_power(
 ):
     """Largest eigenvalue by power iteration with Rayleigh-quotient
     convergence, as an on-device ``while_loop`` (reference
-    ``stochastic.py:316-361``)."""
+    ``stochastic.py:316-361``).
+
+    A batched tensor argument is ONE block-diagonal operator: the
+    result is the scalar **global** max eigenvalue across the batch
+    (measured 4e-6 relative at 64 x 64x64). For per-matrix dominant
+    eigenvalues of compact-symmetric batches use
+    :func:`fastmath_tpu.ops.sym.sym_maxeig` (the fused lane-parallel
+    kernel); or vmap this function.
+    """
     mv, shape, dtype = _as_matvec(matvec, shape, dtype)
     if key is None:
         key = jax.random.key(0)
@@ -158,7 +178,8 @@ def maxeig_power(
 def _factexp(lam, coeff):
     """exp(-1 - sum_i coeff[i] lam^(i+1)) for a batch of lam."""
     powers = lam[..., None] ** jnp.arange(1, coeff.shape[0] + 1)
-    return jnp.exp(-1.0 - powers @ coeff)
+    return jnp.exp(-1.0 - jnp.matmul(powers, coeff,
+                                     precision="highest"))
 
 
 def _vbald_moments_mc(coeff, lam):
@@ -192,6 +213,10 @@ def vbald(
     the exponential-family coefficients (with Armijo backtracking), then
     Monte-Carlo ``E[log lam]``. Runs eagerly (host-controlled GN loop),
     like the reference (``stochastic.py:149-313``).
+
+    A batched tensor argument is ONE block-diagonal operator: the
+    result is the scalar **sum** of the per-matrix logdets (vmap for
+    per-matrix estimates).
     """
     mv, shape, dtype = _as_matvec(matvec, shape, dtype)
     if key is None:

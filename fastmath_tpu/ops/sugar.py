@@ -103,10 +103,14 @@ def lmdiv(
         return _chol_solve(a, b)
     if method.startswith("svd"):
         u, s, vh = jnp.linalg.svd(a, full_matrices=False)
-        uhb = jnp.conjugate(jnp.swapaxes(u, -1, -2)) @ b
-        return jnp.conjugate(jnp.swapaxes(vh, -1, -2)) @ (uhb / s[..., None])
+        # precision="highest": TPU's default f32 matmul is bf16-class
+        uhb = jnp.matmul(jnp.conjugate(jnp.swapaxes(u, -1, -2)), b,
+                         precision="highest")
+        return jnp.matmul(jnp.conjugate(jnp.swapaxes(vh, -1, -2)),
+                          uhb / s[..., None], precision="highest")
     if method.startswith("pinv"):
-        return jnp.linalg.pinv(a, rtol=rcond) @ b
+        return jnp.matmul(jnp.linalg.pinv(a, rtol=rcond), b,
+                          precision="highest")
     raise ValueError(f"Unknown inversion method {method}.")
 
 
@@ -157,9 +161,10 @@ def inv(
         return _chol_solve(a, jnp.broadcast_to(eye, a.shape))
     if method.startswith("svd"):
         u, s, vh = jnp.linalg.svd(a, full_matrices=False)
-        return jnp.conjugate(jnp.swapaxes(vh, -1, -2)) @ (
-            jnp.conjugate(jnp.swapaxes(u, -1, -2)) / s[..., None]
-        )
+        return jnp.matmul(
+            jnp.conjugate(jnp.swapaxes(vh, -1, -2)),
+            jnp.conjugate(jnp.swapaxes(u, -1, -2)) / s[..., None],
+            precision="highest")
     if method.startswith("pinv"):
         return jnp.linalg.pinv(a, rtol=rcond)
     raise ValueError(f"Unknown inversion method {method}.")
@@ -255,7 +260,8 @@ def is_orthonormal(
     basis = jnp.asarray(basis)
     f = basis.shape[0]
     flat = basis.reshape(f, -1)
-    gram = jnp.conjugate(flat) @ flat.T
+    gram = jnp.matmul(jnp.conjugate(flat), flat.T,
+                      precision="highest")
     check = bool(
         jnp.allclose(gram, jnp.eye(f, dtype=gram.dtype), rtol=1e-5, atol=1e-8)
     )
