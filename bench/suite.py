@@ -1083,13 +1083,21 @@ def main():
 
         hj = jax.device_put(jax.jit(
             lambda x: Q.hessenberg(x, check_finite=False))(ahj))
+        h64 = np.asarray(hj[:2048], np.float64)
+        hfro = np.linalg.norm(h64.reshape(2048, -1), axis=-1)
+
+        def fro_err(got):
+            # per-matrix Frobenius-normalized residual (elementwise
+            # rel-err blows up on H's exact structural zeros)
+            r = (np.abs(got - h64).reshape(2048, -1).max(-1) / hfro)
+            return float(np.median(r)), float(np.quantile(r, 0.99))
+
         f_qr = jax.jit(lambda x: Q.qr_hessenberg(x, check_finite=False))
         dt = honest_time(f_qr, hj, calls=16)
         q2, r2 = f_qr(hj[:2048])
-        med, p99 = rel_err(
+        med, p99 = fro_err(
             np.einsum("...ij,...jk->...ik", np.asarray(q2, np.float64),
-                      np.asarray(r2, np.float64)),
-            np.asarray(hj[:2048], np.float64))
+                      np.asarray(r2, np.float64)))
         record(f"qr_hessenberg {n_h}x{n_h} (givens)", b_h, "f32", b_h, dt,
                med, p99, "qr/s", bytes_per_item=3 * n_h * n_h * 4)
 
@@ -1097,9 +1105,8 @@ def main():
         dt = honest_time(f_rq, hj, calls=16)
         rq2 = np.asarray(f_rq(hj[:2048]), np.float64)
         q64 = np.asarray(q2, np.float64)
-        med, p99 = rel_err(
-            np.einsum("...ij,...jk,...lk->...il", q64, rq2, q64),
-            np.asarray(hj[:2048], np.float64))
+        med, p99 = fro_err(
+            np.einsum("...ij,...jk,...lk->...il", q64, rq2, q64))
         record(f"rq_hessenberg {n_h}x{n_h} (QR-iteration kernel)", b_h,
                "f32", b_h, dt, med, p99, "rq/s",
                bytes_per_item=2 * n_h * n_h * 4)
@@ -1166,10 +1173,17 @@ def main():
             record(f"trapprox {nm} {bst}x{nst} blockdiag s=64", bst,
                    "f32", bst, dt, med, p99, "mat/s",
                    bytes_per_item=nst * nst * 4)
-        f_vb = jax.jit(lambda m: ST.vbald(m, key=key))
-        dt = honest_time(f_vb, sj, calls=4)
+        # vbald runs EAGERLY by design (host-controlled Gauss-Newton
+        # loop, like the reference) — wall-clock it as-is, no jit
+        vb_out = ST.vbald(sj, key=key)  # warmup (compiles the pieces)
+        _ = float(vb_out)
+        t0v = time.time()
+        for _ in range(4):
+            vb_out = ST.vbald(sj, key=key)
+        _ = float(vb_out)
+        dt = (time.time() - t0v) / 4
         ld_want = np.linalg.slogdet(spdst.astype(np.float64))[1].sum()
-        med, p99 = rel_err(np.asarray(f_vb(sj), np.float64), ld_want)
+        med, p99 = rel_err(np.asarray(vb_out, np.float64), ld_want)
         record(f"vbald {bst}x{nst} blockdiag", bst, "f32", bst, dt, med,
                p99, "mat/s", bytes_per_item=nst * nst * 4)
         f_me = jax.jit(lambda m: ST.maxeig_power(m, max_iter=256,
@@ -1205,7 +1219,7 @@ def main():
         del xd, xdj
         x2d = rng.standard_normal((8192, 32, 32)).astype(np.float32)
         x2dj = jax.device_put(jnp.asarray(x2d))
-        f_n = jax.jit(lambda t: RT.dctn(t, axes=(-2, -1), norm="ortho"))
+        f_n = jax.jit(lambda t: RT.dctn(t, dim=(-2, -1), norm="ortho"))
         dt = honest_time(f_n, x2dj, calls=16)
         want = sfft.dctn(x2d[:1024].astype(np.float64), axes=(-2, -1),
                          norm="ortho")
