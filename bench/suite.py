@@ -872,9 +872,12 @@ def main():
                    medlc, p99lc, "logm/s", bytes_per_item=2 * 16 * 4)
             del Xcf, Ecf
         # larger-d register tiers: 8x8 (in-register PLU inverse),
-        # 16x16 (rolled stacked-grid), 24x24 (the logm kernel tier's
-        # cap) — batch scaled down so the working set stays ~BIG*64 B
-        for d_l, b_l in ((8, BIG // 4), (16, BIG // 16), (24, BIG // 36)):
+        # 16x16 / 24x24 (rolled stacked-grid), 28x28 / 32x32 (the
+        # round-5 flat-loop logm tier — these non-normal roundtrip
+        # rows ARE the former 4.6-5.3e3 logm/s ISS-cliff rows) —
+        # batch scaled down so the working set stays ~BIG*64 B
+        for d_l, b_l in ((8, BIG // 4), (16, BIG // 16), (24, BIG // 36),
+                         (28, BIG // 49), (32, BIG // 64)):
             Xl = (rng.standard_normal((b_l, d_l, d_l)).astype(np.float32)
                   * (0.5 / np.sqrt(d_l)))
             Xlj = jax.device_put(jnp.asarray(Xl))
