@@ -67,8 +67,9 @@ def main():
         np.linspace(0.05, 50.0, n // 4),
         1.0 + np.linspace(-0.4, 0.4, n // 4),
     ])
-    x = jnp.asarray(x64.astype(np.float32))
-    x64 = np.asarray(x, np.float64)  # error vs the f32-rounded inputs
+    # Mosaic-friendly 2-D layout: (sublane multiple of 8, lane 128k)
+    x = jnp.asarray(x64.astype(np.float32)).reshape(-1, 1024)
+    x64 = np.asarray(x, np.float64).ravel()  # vs the f32-rounded inputs
 
     rows = []
     for name, fn in (("xla jnp.log", jax.jit(jnp.log)),
@@ -81,7 +82,7 @@ def main():
             print(f"{name:>22}: FAILED to lower/run: {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
             continue
-        e = ulp_err(got, x64)
+        e = ulp_err(got.ravel(), x64)
         fin = np.isfinite(e)
         e = e[fin]
         rows.append((name, np.median(e), np.quantile(e, 0.99), e.max()))

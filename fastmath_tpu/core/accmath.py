@@ -44,7 +44,11 @@ def log(x):
     semantics for f64, where XLA's log is already correctly rounded).
 
     ~1-2 ulp on every positive finite float32 vs XLA TPU's measured
-    ~4000-ulp worst case. See module docstring.
+    ~4000-ulp worst case. Hardware-measured round 5
+    (``bench/tpu_probe_mosaic_log.py``, 4M-point sweep of
+    [1e-30, 1e30] + the [0.05, 50] worst band + near-1): this log
+    med 0.29 / p99 1.7 / max 4.0 ulp; XLA ``jnp.log`` on identical
+    data med 22.6 / p99 2563 / max 4029 ulp. See module docstring.
     """
     x = jnp.asarray(x)
     if x.dtype == jnp.float64:
