@@ -29,13 +29,23 @@ def _log_kernel(x_ref, o_ref):
     o_ref[...] = jnp.log(x_ref[...])
 
 
-def mosaic_log(x):
+def _gridded(kernel, x):
+    # (rows, 1024) f32 whole-array blocks OOM scoped VMEM (16 MiB in +
+    # 16 MiB out) — grid over row blocks instead
     interpret = jax.default_backend() != "tpu"
+    rb = 256
     return pl.pallas_call(
-        _log_kernel,
+        kernel,
+        grid=(x.shape[0] // rb,),
+        in_specs=[pl.BlockSpec((rb, x.shape[1]), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((rb, x.shape[1]), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x)
+
+
+def mosaic_log(x):
+    return _gridded(_log_kernel, x)
 
 
 def _acclog_kernel(x_ref, o_ref):
@@ -43,12 +53,7 @@ def _acclog_kernel(x_ref, o_ref):
 
 
 def mosaic_acclog(x):
-    interpret = jax.default_backend() != "tpu"
-    return pl.pallas_call(
-        _acclog_kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        interpret=interpret,
-    )(x)
+    return _gridded(_acclog_kernel, x)
 
 
 def ulp_err(got, x64):
